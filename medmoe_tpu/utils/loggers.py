@@ -1,0 +1,162 @@
+"""Metric logger backends (reference configs/logger/* analogue).
+
+Every backend exposes ``log_metrics(metrics: dict, step: int)`` and
+``log_hyperparams(cfg: dict)``. Only process 0 writes.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+
+def _is_main_process() -> bool:
+    try:
+        import jax
+
+        return jax.process_index() == 0
+    except Exception:
+        return True
+
+
+class BaseLogger:
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        raise NotImplementedError
+
+    def log_hyperparams(self, params: Dict[str, Any]) -> None:
+        pass
+
+    def finalize(self) -> None:
+        pass
+
+
+class CSVLogger(BaseLogger):
+    def __init__(self, save_dir: str, name: str = "csv"):
+        self.save_dir = os.path.join(save_dir, name)
+        self._file = None
+        self._writer = None
+        self._fields: list[str] = []
+
+    def _ensure(self, metrics: Dict[str, Any]) -> None:
+        if not _is_main_process():
+            return
+        new_fields = sorted(set(self._fields) | set(metrics) | {"step", "time"})
+        if self._file is None or new_fields != self._fields:
+            rows = []
+            path = os.path.join(self.save_dir, "metrics.csv")
+            if self._file is not None:
+                self._file.close()
+                with open(path) as f:
+                    rows = list(csv.DictReader(f))
+            os.makedirs(self.save_dir, exist_ok=True)
+            self._fields = new_fields
+            self._file = open(path, "w", newline="")
+            self._writer = csv.DictWriter(self._file, fieldnames=self._fields)
+            self._writer.writeheader()
+            for row in rows:
+                self._writer.writerow(row)
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        if not _is_main_process():
+            return
+        row = {k: float(v) for k, v in metrics.items()}
+        row["step"] = step
+        row["time"] = time.time()
+        self._ensure(row)
+        self._writer.writerow(row)
+        self._file.flush()
+
+    def log_hyperparams(self, params: Dict[str, Any]) -> None:
+        if not _is_main_process():
+            return
+        os.makedirs(self.save_dir, exist_ok=True)
+        with open(os.path.join(self.save_dir, "hparams.json"), "w") as f:
+            json.dump(params, f, indent=2, default=str)
+
+    def finalize(self) -> None:
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+
+
+class JSONLLogger(BaseLogger):
+    """One JSON object per line — trivially machine-readable run history."""
+
+    def __init__(self, save_dir: str, name: str = "metrics.jsonl"):
+        self.path = os.path.join(save_dir, name)
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        if not _is_main_process():
+            return
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        record = {"step": step, "time": time.time()}
+        record.update({k: float(v) for k, v in metrics.items()})
+        with open(self.path, "a") as f:
+            f.write(json.dumps(record) + "\n")
+
+
+class TensorBoardLogger(BaseLogger):
+    def __init__(self, save_dir: str, name: Optional[str] = None):
+        self.save_dir = os.path.join(save_dir, name) if name else save_dir
+        self._writer = None
+
+    def _ensure(self):
+        if self._writer is None:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._writer = SummaryWriter(self.save_dir)
+            except Exception:
+                self._writer = False
+        return self._writer
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        if not _is_main_process():
+            return
+        writer = self._ensure()
+        if not writer:
+            return
+        for k, v in metrics.items():
+            writer.add_scalar(k, float(v), step)
+
+    def finalize(self) -> None:
+        if self._writer:
+            self._writer.close()
+
+
+class WandbLogger(BaseLogger):
+    """Weights & Biases backend; degrades to a JSONL file if wandb is absent
+    or offline (this image has no network egress)."""
+
+    def __init__(self, save_dir: str, project: str = "medmoe_tpu", group: str = "",
+                 tags: Optional[list] = None):
+        self._run = None
+        self._fallback = JSONLLogger(save_dir, "wandb_fallback.jsonl")
+        if not _is_main_process():
+            return
+        try:
+            import wandb
+
+            self._run = wandb.init(
+                project=project, group=group or None, tags=tags or [],
+                dir=save_dir, mode=os.environ.get("WANDB_MODE", "offline"),
+            )
+        except Exception:
+            self._run = None
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        if self._run is not None:
+            self._run.log({k: float(v) for k, v in metrics.items()}, step=step)
+        else:
+            self._fallback.log_metrics(metrics, step)
+
+    def log_hyperparams(self, params: Dict[str, Any]) -> None:
+        if self._run is not None:
+            self._run.config.update(params, allow_val_change=True)
+
+    def finalize(self) -> None:
+        if self._run is not None:
+            self._run.finish()

@@ -1,0 +1,97 @@
+"""Config composition tests: the surface must match the reference's hydra
+behavior (reference configs/train.yaml + experiment/pretraining_medmoe.yaml)."""
+
+import pytest
+
+from medmoe_tpu.config import compose, DotDict
+
+
+def test_compose_pretraining_experiment():
+    cfg = compose("train", ["experiment=pretraining_medmoe"])
+    # experiment overlay pins hparams (reference configs/experiment/pretraining_medmoe.yaml)
+    assert cfg.seed == 12345
+    assert cfg.trainer.max_epochs == 10
+    assert cfg.trainer.gradient_clip_val == 0.25
+    assert cfg.trainer.accumulate_grad_batches == 10
+    assert cfg.data.batch_size == 256
+    assert cfg.model.optimizer.lr == 0.00005
+    # base model config (reference configs/model/med-moe.yaml)
+    assert cfg.model.model.text.max_length == 25
+    assert cfg.model.model.vision.num_experts == 6
+    assert cfg.model.model.text.last_n_layers == 4
+    # loss weights (reference configs/model/med-moe_pretraining.yaml:21-23)
+    assert cfg.model.loss.global_loss_weight == 0.5
+    assert cfg.model.loss.local_loss_weight == 0.5
+    assert cfg.model.loss.classifier_loss_weight == 2.0
+    assert cfg.model.loss.temp1 == 4.0
+    assert cfg.model.loss.temp2 == 5.0
+    assert cfg.model.loss.temp3 == 10.0
+
+
+def test_group_override():
+    cfg = compose("train", ["experiment=pretraining_medmoe", "data=synthetic"])
+    assert "SyntheticDataModule" in cfg.data._target_
+    # the experiment overlay's inline data.batch_size=256 still merges on top
+    # of the swapped group (hydra semantics)
+    assert cfg.data.batch_size == 256
+    assert cfg.data.num_samples == 256  # synthetic's own field survives
+
+
+def test_value_overrides():
+    cfg = compose(
+        "train",
+        [
+            "experiment=pretraining_medmoe",
+            "trainer.max_epochs=3",
+            "data.batch_size=16",
+            "model.model.vision.moe_mode=ep",
+            "+extras.new_key=7",
+        ],
+    )
+    assert cfg.trainer.max_epochs == 3
+    assert cfg.data.batch_size == 16
+    assert cfg.model.model.vision.moe_mode == "ep"
+    assert cfg.extras.new_key == 7
+
+
+def test_debug_overlay():
+    cfg = compose("train", ["experiment=pretraining_medmoe", "debug=fdr"])
+    assert cfg.trainer.limit_train_batches == 1
+    assert cfg.trainer.detect_anomaly is True
+    assert cfg.task_name == "debug"
+
+
+def test_interpolation():
+    cfg = compose("train", ["experiment=pretraining_medmoe"])
+    # ${paths.output_dir} resolves through two levels of interpolation
+    assert "${" not in cfg.trainer.default_root_dir
+    assert cfg.trainer.default_root_dir.endswith("logs/train/runs")
+
+
+def test_logger_null():
+    cfg = compose("train", ["experiment=pretraining_medmoe", "logger=null"])
+    assert cfg.get("logger") is None
+
+
+def test_eval_zs_config():
+    cfg = compose("eval_zs", [])
+    assert cfg.eval.protocol == "zero_shot"
+    assert "CheXpertDataModule" in cfg.data._target_
+    assert cfg.eval.prompt_template == "this is a photo of {}"
+
+
+def test_dotdict_basic():
+    d = DotDict({"a": {"b": [1, {"c": 2}]}})
+    assert d.a.b[1].c == 2
+    d.set_dotted("a.x.y", 5)
+    assert d.a.x.y == 5
+    assert d.select("a.b") is not None
+    assert d.select("nope.nope", "fallback") == "fallback"
+
+
+def test_instantiate_partial():
+    from medmoe_tpu.utils import instantiate
+
+    cfg = DotDict({"_target_": "builtins.dict", "_partial_": True, "a": 1})
+    fn = instantiate(cfg)
+    assert fn(b=2) == {"a": 1, "b": 2}
