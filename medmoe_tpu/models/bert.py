@@ -1,0 +1,125 @@
+"""BERT text encoder, written TPU-first in JAX/Flax.
+
+Re-implements the behavior the reference gets from HF
+``AutoModel.from_pretrained('emilyalsentzer/Bio_ClinicalBERT')``
+(reference src/models/components/text_encoder.py:18-22): a BERT-base encoder
+returning all per-layer hidden states so the caller can aggregate the last N
+layers.
+
+TPU-native: static [B, T=25] shapes (the tokenizer pads to max_length
+statically — the reference pads 'longest' dynamically, which would force an
+XLA recompile per batch shape), bf16 activations, one fused attention einsum
+per layer, additive mask built once.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from flax import struct
+
+from medmoe_tpu.models.layers import Fp32LayerNorm
+
+
+@struct.dataclass
+class BertConfig:
+    vocab_size: int = 28996          # Bio_ClinicalBERT (bert-base-cased vocab)
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_position_embeddings: int = 512
+    type_vocab_size: int = 2
+    layer_norm_eps: float = 1e-12
+    dtype: jnp.dtype = jnp.bfloat16
+
+
+class BertEmbeddings(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, token_type_ids):
+        cfg = self.config
+        b, t = input_ids.shape
+        word = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                        param_dtype=jnp.float32, name="word_embeddings")(input_ids)
+        pos_ids = jnp.arange(t)[None, :]
+        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
+                       param_dtype=jnp.float32, name="position_embeddings")(pos_ids)
+        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
+                       param_dtype=jnp.float32, name="token_type_embeddings")(token_type_ids)
+        x = word + pos + typ
+        x = Fp32LayerNorm(epsilon=cfg.layer_norm_eps, name="norm")(x)
+        return x.astype(cfg.dtype)
+
+
+class BertSelfAttention(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, x, additive_mask):
+        cfg = self.config
+        b, t, d = x.shape
+        head_dim = cfg.hidden_size // cfg.num_heads
+
+        def dense(name):
+            return nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                            param_dtype=jnp.float32, name=name)
+
+        q = dense("query")(x).reshape(b, t, cfg.num_heads, head_dim)
+        k = dense("key")(x).reshape(b, t, cfg.num_heads, head_dim)
+        v = dense("value")(x).reshape(b, t, cfg.num_heads, head_dim)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn / jnp.sqrt(jnp.float32(head_dim)) + additive_mask
+        attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
+                         preferred_element_type=jnp.float32).astype(cfg.dtype)
+        return out.reshape(b, t, cfg.hidden_size)
+
+
+class BertLayer(nn.Module):
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, x, additive_mask):
+        cfg = self.config
+        attn_out = BertSelfAttention(cfg, name="attention")(x, additive_mask)
+        attn_out = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                            param_dtype=jnp.float32, name="attention_output")(attn_out)
+        x = Fp32LayerNorm(epsilon=cfg.layer_norm_eps,
+                          name="attention_norm")(x + attn_out)
+        ffn = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
+                       param_dtype=jnp.float32, name="intermediate")(x)
+        ffn = nn.gelu(ffn, approximate=False)
+        ffn = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                       param_dtype=jnp.float32, name="output")(ffn)
+        return Fp32LayerNorm(epsilon=cfg.layer_norm_eps,
+                             name="output_norm")(x + ffn)
+
+
+class BertModel(nn.Module):
+    """Returns (last_hidden, pooled, all_hidden_states) like HF with
+    output_hidden_states=True."""
+
+    config: BertConfig
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask, token_type_ids
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
+        cfg = self.config
+        x = BertEmbeddings(cfg, name="embeddings")(input_ids, token_type_ids)
+        additive_mask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
+                                  -1e9).astype(jnp.float32)
+        hidden_states = (x,)
+        for i in range(cfg.num_layers):
+            x = BertLayer(cfg, name=f"layer_{i}")(x, additive_mask)
+            hidden_states = hidden_states + (x,)
+        pooled = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
+                          param_dtype=jnp.float32, name="pooler")(x[:, 0])
+        pooled = jnp.tanh(pooled)
+        return x, pooled, hidden_states

@@ -1,0 +1,328 @@
+"""Contrastive losses (reference src/losses.py), re-designed for TPU.
+
+Every loss here is a pure function of arrays (wrapped in thin classes so the
+``_target_`` config surface matches the reference's loss registry,
+reference configs/model/med-moe_pretraining.yaml:29-37).
+
+The headline rewrite is **GLoRIA local**: the reference loops over the batch
+in python, building B×B word-region attention maps one caption at a time
+(reference losses.py:979-1015, O(B²·T·M) with host-side control flow). Here
+it is one batched einsum family over [B_text, B_img, M, T] with caption-length
+masking — fully fused by XLA, no host loop, identical numerics (same
+softmax/exp/log/temperature ordering).
+
+Dynamic caption lengths become static masks: position t of caption i is valid
+iff t < cap_lens[i] (the reference slices `words_emb[i,:,:words_num]`,
+losses.py:989 — slicing before a softmax over words ≡ -inf masking).
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+class GloriaLocalOutput(NamedTuple):
+    loss0: jnp.ndarray
+    loss1: jnp.ndarray
+    att_maps: Optional[jnp.ndarray] = None    # [B, T, H, W] diagonal maps
+
+
+def _cross_entropy_diag(logits: jnp.ndarray) -> jnp.ndarray:
+    """Mean CE with labels = arange(B) (reference's
+    ``CrossEntropyLoss()(scores, labels)`` with identity labels)."""
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.diagonal(logprobs))
+
+
+def attention_fn(words: jnp.ndarray, context: jnp.ndarray, temp1: float,
+                 word_mask: Optional[jnp.ndarray] = None):
+    """GLoRIA word-region attention (reference losses.py:698-736), batched
+    over (text, image) pairs.
+
+    words:   [Bt, D, T]   word (query) embeddings
+    context: [Bi, D, M]   flattened image region embeddings
+    word_mask: [Bt, T] bool, True = valid word position
+    Returns (wei_context [Bt, Bi, D, T], attn [Bt, Bi, T, M]).
+
+    Double softmax exactly as the reference: first over words T (restricted
+    to valid words), then over regions M scaled by temp1.
+    """
+    # raw scores s[i, b, m, t] = <context[b,:,m], words[i,:,t]>
+    scores = jnp.einsum("bdm,idt->ibmt", context, words,
+                        preferred_element_type=jnp.float32)
+    if word_mask is not None:
+        scores = jnp.where(word_mask[:, None, None, :], scores, NEG_INF)
+    attn = jax.nn.softmax(scores, axis=-1)                 # over words T
+    attn = jax.nn.softmax(attn * temp1, axis=-2)           # over regions M
+    wei_context = jnp.einsum("bdm,ibmt->ibdt", context,
+                             attn.astype(context.dtype),
+                             preferred_element_type=jnp.float32)
+    return wei_context, attn.transpose(0, 1, 3, 2)         # [i, b, t, m]
+
+
+def cosine_similarity(x1: jnp.ndarray, x2: jnp.ndarray, axis: int,
+                      eps: float = 1e-8) -> jnp.ndarray:
+    """reference losses.py:690-695 (clamped-denominator cosine)."""
+    x1 = x1.astype(jnp.float32)
+    x2 = x2.astype(jnp.float32)
+    w12 = jnp.sum(x1 * x2, axis=axis)
+    w1 = jnp.sqrt(jnp.sum(jnp.square(x1), axis=axis))
+    w2 = jnp.sqrt(jnp.sum(jnp.square(x2), axis=axis))
+    return w12 / jnp.maximum(w1 * w2, eps)
+
+
+def gloria_local_loss(img_features: jnp.ndarray, words_emb: jnp.ndarray,
+                      cap_lens: jnp.ndarray, temp1: float = 4.0,
+                      temp2: float = 5.0, temp3: float = 10.0,
+                      agg: str = "sum", return_att_maps: bool = False
+                      ) -> GloriaLocalOutput:
+    """Batched GLoRIA local (word-region) contrastive loss.
+
+    img_features: [B, D, H, W]; words_emb: [B, D, T]; cap_lens: [B] int.
+    Matches reference GLORIALocalContrastiveLoss.forward (losses.py:961-1026):
+    similarities[b_img, i_text] = temp3 · log Σ_{t<cap_len_i} exp(temp2 ·
+    cos(word, attended_context)); symmetric CE on the B×B matrix.
+    """
+    b, d, h, w = img_features.shape
+    t = words_emb.shape[-1]
+    context = img_features.reshape(b, d, h * w)
+    word_mask = jnp.arange(t)[None, :] < cap_lens[:, None]     # [B, T]
+
+    wei_context, attn = attention_fn(words_emb, context, temp1, word_mask)
+    # row_sim[i, b, t] = cos over D
+    row_sim = cosine_similarity(words_emb[:, None], wei_context, axis=2)
+    row_sim = row_sim * temp2
+    # log-sum-exp over valid words (reference exp → sum → log)
+    row_sim = jnp.where(word_mask[:, None, :], jnp.exp(row_sim), 0.0)
+    if agg == "sum":
+        sim = jnp.sum(row_sim, axis=-1)                        # [i, b]
+    else:
+        sim = jnp.sum(row_sim, axis=-1) / jnp.maximum(cap_lens[:, None], 1)
+    sim = jnp.log(sim) * temp3
+
+    # reference layout: similarities[b_img, i_text]
+    similarities = sim.T                                       # [b, i]
+    loss0 = _cross_entropy_diag(similarities)
+    loss1 = _cross_entropy_diag(similarities.T)
+    att_maps = None
+    if return_att_maps:
+        diag = jnp.einsum("iitm->itm", attn)                   # [B, T, M]
+        att_maps = diag.reshape(b, t, h, w)
+    return GloriaLocalOutput(loss0=loss0, loss1=loss1, att_maps=att_maps)
+
+
+def gloria_global_loss(cnn_code: jnp.ndarray, rnn_code: jnp.ndarray,
+                       temp3: float = 10.0, eps: float = 1e-8) -> jnp.ndarray:
+    """Batch cosine-similarity InfoNCE (reference
+    GLORIAGlobalContrastiveLoss.forward, losses.py:766-794)."""
+    cnn = cnn_code.astype(jnp.float32)
+    rnn = rnn_code.astype(jnp.float32)
+    scores = cnn @ rnn.T
+    norms = (jnp.linalg.norm(cnn, axis=-1, keepdims=True)
+             @ jnp.linalg.norm(rnn, axis=-1, keepdims=True).T)
+    scores = scores / jnp.maximum(norms, eps) * temp3
+    return _cross_entropy_diag(scores) + _cross_entropy_diag(scores.T)
+
+
+def clip_contrastive_loss(img: jnp.ndarray, txt: jnp.ndarray,
+                          logit_scale: jnp.ndarray,
+                          axis_name: Optional[str] = None) -> jnp.ndarray:
+    """FLAVA/CLIP-style InfoNCE with learnable temperature and optional
+    cross-device global negatives (reference losses.py:248-301 + 503-592 +
+    src/utils/distributed.py backprop-all_gather).
+
+    Under SPMD, ``lax.all_gather`` over the data axis is differentiable by
+    construction — this one line replaces the reference's
+    torch.distributed.nn.functional.all_gather machinery.
+    """
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    temp = jnp.exp(jnp.clip(logit_scale, None, jnp.log(100.0)))
+    local_b = img.shape[0]
+    if axis_name is not None:
+        all_img = jax.lax.all_gather(img, axis_name, tiled=True)
+        all_txt = jax.lax.all_gather(txt, axis_name, tiled=True)
+        offset = jax.lax.axis_index(axis_name) * local_b
+    else:
+        all_img, all_txt, offset = img, txt, 0
+    logits_i = (img @ all_txt.T).astype(jnp.float32) * temp
+    logits_t = (txt @ all_img.T).astype(jnp.float32) * temp
+    labels = offset + jnp.arange(local_b)
+    lp_i = jax.nn.log_softmax(logits_i, axis=-1)
+    lp_t = jax.nn.log_softmax(logits_t, axis=-1)
+    loss_i = -jnp.mean(jnp.take_along_axis(lp_i, labels[:, None], axis=1))
+    loss_t = -jnp.mean(jnp.take_along_axis(lp_t, labels[:, None], axis=1))
+    return (loss_i + loss_t) / 2.0
+
+
+def soft_xent(target: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
+    """reference softXEnt (losses.py:796-803)."""
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.sum(target * logprobs) / logits.shape[0]
+
+
+def hard_negative_loss(imgs: jnp.ndarray, caps: jnp.ndarray, nmax: int = 1,
+                       margin: float = 0.2) -> jnp.ndarray:
+    """Margin loss over the nmax hardest negatives (reference
+    HardNegativeContrastiveLoss, losses.py:885-927)."""
+    imgs = imgs / jnp.linalg.norm(imgs, axis=-1, keepdims=True)
+    caps = caps / jnp.linalg.norm(caps, axis=-1, keepdims=True)
+    scores = (imgs @ caps.T).astype(jnp.float32)
+    diag = jnp.diagonal(scores)
+    scores = scores - 2.0 * jnp.diag(diag)
+    top_c = jax.lax.top_k(scores.T, nmax)[0].T               # [nmax, B]
+    top_i = jax.lax.top_k(scores, nmax)[0]                   # [B, nmax]
+    neg_cap = jnp.sum(jnp.maximum(top_c + (margin - diag)[None, :], 0.0))
+    neg_img = jnp.sum(jnp.maximum(top_i + (margin - diag)[:, None], 0.0))
+    return neg_cap + neg_img
+
+
+def router_classification_loss(router_probs: jnp.ndarray,
+                               labels: jnp.ndarray) -> jnp.ndarray:
+    """CE applied on top of ALREADY-SOFTMAXED router outputs — preserving the
+    reference quirk (swin.py:99 softmaxes, medmoe_module.py:305 then applies
+    F.cross_entropy on the result, i.e. a double softmax)."""
+    logprobs = jax.nn.log_softmax(router_probs.astype(jnp.float32), axis=-1)
+    return -jnp.mean(jnp.take_along_axis(logprobs, labels[:, None], axis=1))
+
+
+def router_accuracy(router_probs: jnp.ndarray, labels: jnp.ndarray
+                    ) -> jnp.ndarray:
+    return jnp.mean((jnp.argmax(router_probs, axis=-1) == labels)
+                    .astype(jnp.float32))
+
+
+# --------------------------------------------------------------------------
+# Config-surface loss classes (the _target_ registry the reference exposes)
+# --------------------------------------------------------------------------
+
+class GLORIAGlobalContrastiveLoss:
+    def __call__(self, cnn_code, rnn_code, temp3=10.0, idx=None, probs=None):
+        return gloria_global_loss(cnn_code, rnn_code, temp3)
+
+
+class ZEROGlobalContrastiveLoss:
+    """Ablation stub returning 0 (reference losses.py:740-755)."""
+
+    def __call__(self, cnn_code, rnn_code, temp3=10.0, idx=None, probs=None):
+        return jnp.asarray(0.0)
+
+
+class HardNegativeContrastiveLoss:
+    def __init__(self, nmax: int = 1, margin: float = 0.2):
+        self.nmax = nmax
+        self.margin = margin
+
+    def __call__(self, imgs, caps, temp3=10.0, idx=None, probs=None):
+        return hard_negative_loss(imgs, caps, self.nmax, self.margin)
+
+
+class GLORIALocalContrastiveLoss:
+    def __call__(self, img_features, words_emb, cap_lens, temp1=4.0,
+                 temp2=5.0, temp3=10.0, agg="sum", idx=None, probs=None):
+        return gloria_local_loss(img_features, words_emb, cap_lens,
+                                 temp1, temp2, temp3, agg)
+
+
+class ZEROLocalContrastiveLoss:
+    def __call__(self, img_features, words_emb, cap_lens, temp1=4.0,
+                 temp2=5.0, temp3=10.0, agg="sum", idx=None, probs=None):
+        zero = jnp.asarray(0.0)
+        return GloriaLocalOutput(loss0=zero, loss1=zero)
+
+
+class SoftGLORIAGlobalContrastiveLoss:
+    """SAT-style soft-label global loss (reference losses.py:814-883):
+    text-similarity scores partition positives/negatives per anchor; each
+    positive is scored against the shared negative set with a soft CE.
+
+    The reference's per-anchor python loops become masked matrix ops: for
+    anchor a, positive j (sim > thr_pos) and negatives N (sim <= thr_neg),
+    loss contribution = -log_softmax([s_aj; s_aN])[0]-style soft CE, averaged
+    over positives then anchors.
+    """
+
+    def __call__(self, cnn_code, rnn_code, temp3=10.0, idx=None, probs=None):
+        scores_text = idx                   # [B, B] tool-BERT text similarity
+        thr_pos, thr_neg = probs
+        b = cnn_code.shape[0]
+        cnn = cnn_code.astype(jnp.float32)
+        rnn = rnn_code.astype(jnp.float32)
+        s = cnn @ rnn.T
+        norms = (jnp.linalg.norm(cnn, axis=-1, keepdims=True)
+                 @ jnp.linalg.norm(rnn, axis=-1, keepdims=True).T)
+        s = s / jnp.maximum(norms, 1e-8) * temp3            # scores0 [B,B]
+
+        pos_mask = scores_text > thr_pos                     # [B(anchor), B]
+        neg_mask = scores_text <= thr_neg
+
+        def one_direction(sc):
+            # For anchor a and candidate positive j: soft CE over the vector
+            # [sc[a, j]; sc[a, negs]] with one-hot target on position 0 ≡
+            # reference softXEnt(targets, cat([pos, negs])), which divides by
+            # the cat length (1 + n_neg).
+            neg = jnp.where(neg_mask, sc, NEG_INF)           # [B, B]
+            m = jnp.maximum(sc, jnp.max(neg, axis=1)[:, None])
+            lse = jnp.log(
+                jnp.exp(sc - m)
+                + jnp.sum(jnp.where(neg_mask[:, None, :],
+                                    jnp.exp(neg[:, None, :] - m[..., None]),
+                                    0.0), axis=-1)) + m
+            n_neg = jnp.sum(neg_mask, axis=1)                # [B]
+            cat_len = jnp.maximum(1 + n_neg, 1)[:, None]
+            per_pos = (lse - sc) / cat_len                   # [B(anchor), B(pos)]
+            n_pos = jnp.maximum(jnp.sum(pos_mask, axis=1), 1)
+            per_anchor = jnp.sum(jnp.where(pos_mask, per_pos, 0.0),
+                                 axis=1) / n_pos
+            return jnp.sum(per_anchor) / b
+
+        return one_direction(s) + one_direction(s.T)
+
+
+class SoftGLORIALocalContrastiveLoss:
+    """Soft-label variant of the local loss (reference losses.py:1111-1214):
+    the same word-region similarity matrix, but scored with the
+    soft-partitioned CE of SoftGLORIAGlobalContrastiveLoss."""
+
+    def __call__(self, img_features, words_emb, cap_lens, temp1=4.0,
+                 temp2=5.0, temp3=10.0, agg="sum", idx=None, probs=None):
+        b, d, h, w = img_features.shape
+        t = words_emb.shape[-1]
+        context = img_features.reshape(b, d, h * w)
+        word_mask = jnp.arange(t)[None, :] < cap_lens[:, None]
+        wei_context, _ = attention_fn(words_emb, context, temp1, word_mask)
+        row_sim = cosine_similarity(words_emb[:, None], wei_context, axis=2)
+        row_sim = jnp.where(word_mask[:, None, :],
+                            jnp.exp(row_sim * temp2), 0.0)
+        sim = jnp.log(jnp.sum(row_sim, axis=-1)) * temp3     # [text, img]
+        similarities = sim.T                                 # [img, text]
+
+        scores_text = idx                  # [B, B] tool-BERT text similarity
+        thr_pos, thr_neg = probs
+        pos_mask = scores_text > thr_pos
+        neg_mask = scores_text <= thr_neg
+
+        def one_direction(sc):
+            neg = jnp.where(neg_mask, sc, NEG_INF)
+            m = jnp.maximum(sc, jnp.max(neg, axis=1)[:, None])
+            lse = jnp.log(
+                jnp.exp(sc - m)
+                + jnp.sum(jnp.where(neg_mask[:, None, :],
+                                    jnp.exp(neg[:, None, :] - m[..., None]),
+                                    0.0), axis=-1)) + m
+            n_neg = jnp.sum(neg_mask, axis=1)
+            cat_len = jnp.maximum(1 + n_neg, 1)[:, None]
+            per_pos = (lse - sc) / cat_len
+            n_pos = jnp.maximum(jnp.sum(pos_mask, axis=1), 1)
+            per_anchor = jnp.sum(jnp.where(pos_mask, per_pos, 0.0),
+                                 axis=1) / n_pos
+            return jnp.sum(per_anchor) / sc.shape[0]
+
+        loss0 = one_direction(similarities)
+        loss1 = one_direction(similarities.T)
+        return GloriaLocalOutput(loss0=loss0, loss1=loss1)

@@ -1,0 +1,54 @@
+"""Sharding rules: parameter PartitionSpecs + batch sharding.
+
+Replaces the reference's implicit DDP replication (reference
+configs/trainer/ddp.yaml) with explicit jax.sharding annotations:
+
+  * every parameter replicated by default (DP);
+  * MoE expert-bank parameters (leading K axis — see
+    medmoe_tpu/models/moe.py ExpertBank) sharded over the ``expert`` axis
+    when EP is enabled;
+  * batches sharded over ``data`` on their leading axis.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# parameter path fragments that carry a leading expert axis
+_EXPERT_PARAM_KEYS = ("proj_w", "proj_b", "attn_w1", "attn_b1", "attn_w2",
+                      "attn_b2")
+
+
+def _is_expert_param(path: tuple) -> bool:
+    keys = [getattr(p, "key", str(p)) for p in path]
+    return any("experts" == k for k in keys) and any(
+        str(keys[-1]).startswith(frag) for frag in _EXPERT_PARAM_KEYS)
+
+
+def param_shardings(params: Any, mesh: Mesh, expert_parallel: bool = False):
+    """PyTree of NamedShardings for a parameter tree."""
+
+    def spec_for(path, leaf):
+        if expert_parallel and _is_expert_param(path):
+            return NamedSharding(mesh, P("expert", *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec_for, params)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis data sharding for every array in a batch."""
+    return NamedSharding(mesh, P("data"))
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

@@ -1,0 +1,181 @@
+"""Pretraining task module: loss orchestration around the MedMoE model.
+
+Functional re-design of the reference MedMoEPretrainingLightningModule
+(reference src/models/medmoe_module.py:172-339): instead of a stateful
+LightningModule, this wires a pure ``loss_fn(params, batch) -> (loss,
+metrics)`` suitable for jit/grad under a mesh.
+
+Loss composition (reference medmoe_module.py:284-316):
+    loss = local_w · (local.loss0 + local.loss1)
+         + global_w · global_loss
+         + classifier_w · CE(router_probs, modality_label)
+
+Parameter freezing (reference text_encoder.py:27-30 freeze_bert /
+vision_encoder.py:51-54 freeze_cnn) is implemented with stop_gradient on the
+frozen subtree — unlike requires_grad=False this also skips the frozen
+tower's backward pass entirely (XLA dead-code-eliminates it).
+
+``block_size`` computes the contrastive losses on per-device-sized blocks of
+the global batch — the exact math of the reference's per-rank DDP losses
+(each rank sees only its local B×B similarity matrix) — while ``None`` uses
+the full global batch (stronger negatives; TPU-native default is per-rank
+parity for comparability).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from medmoe_tpu.config import DotDict
+from medmoe_tpu.models.medmoe import MedMoE
+from medmoe_tpu.ops import losses as L
+from medmoe_tpu.utils.instantiate import instantiate
+
+
+class MedMoEPretrainingModule:
+    def __init__(self, model: Any, loss: Any, optimizer: Any = None,
+                 scheduler: Any = None, compile: bool = True,
+                 num_classes: int = 6):
+        # `model` arrives either as an already-instantiated MedMoE flax
+        # module (the _target_ config surface instantiates nested nodes
+        # first, like hydra) or as a config node with vision/text groups;
+        # `optimizer`/`scheduler` arrive as partials.
+        self.loss_cfg = loss if isinstance(loss, DotDict) else DotDict(loss)
+        self.optimizer_factory = optimizer
+        self.scheduler_factory = scheduler
+        self.compile = compile
+        self.num_classes = num_classes
+
+        if isinstance(model, MedMoE):
+            self.model = model
+            vision, text = model.vision, model.text
+        else:
+            cfg = model if isinstance(model, DotDict) else DotDict(model)
+            vision = cfg.vision if "vision" in cfg else cfg
+            text = cfg.text
+            self.model = MedMoE(vision=vision, text=text)
+        self.vision_cfg = vision
+        self.text_cfg = text
+
+        self.global_loss = instantiate(self.loss_cfg.get("global_loss")) \
+            or L.GLORIAGlobalContrastiveLoss()
+        self.local_loss = instantiate(self.loss_cfg.get("local_loss")) \
+            or L.GLORIALocalContrastiveLoss()
+        self.local_w = float(self.loss_cfg.get("local_loss_weight", 0.4))
+        self.global_w = float(self.loss_cfg.get("global_loss_weight", 0.4))
+        self.classifier_w = float(self.loss_cfg.get("classifier_loss_weight", 0.2))
+        self.temp1 = float(self.loss_cfg.get("temp1", 4.0))
+        self.temp2 = float(self.loss_cfg.get("temp2", 5.0))
+        self.temp3 = float(self.loss_cfg.get("temp3", 10.0))
+        self.agg = self.loss_cfg.get("agg", "sum")
+        self.soft_label = bool(self.loss_cfg.get("soft_label", False))
+        self.block_size = self.loss_cfg.get("block_size", None)
+
+    # ------------------------------------------------------------------
+    def init_params(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]):
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, batch, deterministic=True)
+        return variables["params"]
+
+    def _freeze(self, params: Any) -> Any:
+        out = params
+        if self.text_cfg.get("freeze_bert", False) and "text_encoder" in params:
+            te = dict(params["text_encoder"])
+            if "bert" in te:
+                te["bert"] = jax.lax.stop_gradient(te["bert"])
+                out = {**params, "text_encoder": te}
+        if self.vision_cfg.get("freeze_cnn", False) and "image_encoder" in out:
+            out = {**out, "image_encoder":
+                   jax.lax.stop_gradient(out["image_encoder"])}
+        return out
+
+    # ------------------------------------------------------------------
+    def _soft_targets(self, params, batch):
+        """Tool-BERT text-similarity soft targets (reference
+        medmoe_module.py:258-282): CLS-pool, L2-norm, pairwise scores."""
+        from medmoe_tpu.models.bert import BertModel, BertConfig
+
+        bert_params = params["text_encoder"]["bert"]
+        dtype = jnp.dtype(self.text_cfg.get("dtype", "bfloat16"))
+        last, _, _ = BertModel(BertConfig(dtype=dtype)).apply(
+            {"params": jax.lax.stop_gradient(bert_params)},
+            batch["input_ids"], batch["attention_mask"],
+            batch["token_type_ids"])
+        f = last[:, 0].astype(jnp.float32)
+        f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+        scores = f @ f.T
+        thr = (float(self.loss_cfg.get("threshold0", 0.98)),
+               float(self.loss_cfg.get("threshold1", 0.97)))
+        return scores, thr
+
+    def _blocked(self, fn, *arrays):
+        """Apply a loss over per-block slices and average (per-rank DDP
+        loss semantics)."""
+        bs = self.block_size
+        b = arrays[0].shape[0]
+        if not bs or bs >= b:
+            return fn(*arrays)
+        nb = b // bs
+        blocked = [a.reshape((nb, bs) + a.shape[1:]) for a in arrays]
+        return jnp.mean(jax.vmap(fn)(*blocked))
+
+    # ------------------------------------------------------------------
+    def loss_fn(self, params, batch: Dict[str, jnp.ndarray],
+                deterministic: bool = True,
+                rngs: Optional[Dict[str, jax.Array]] = None
+                ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        params = self._freeze(params)
+        outs = self.model.apply(
+            {"params": params}, batch, deterministic=deterministic,
+            rngs=rngs or {})
+        img_g, img_l, txt_g, txt_l, router_probs = outs
+        cap_lens = batch["cap_lens"]
+
+        idx = probs = None
+        if self.soft_label:
+            idx, probs = self._soft_targets(params, batch)
+
+        def local_fn(il, tl, cl):
+            out = self.local_loss(il, tl, cl, temp1=self.temp1,
+                                  temp2=self.temp2, temp3=self.temp3,
+                                  agg=self.agg, idx=idx, probs=probs)
+            return out.loss0 + out.loss1
+
+        def global_fn(ig, tg):
+            return self.global_loss(ig, tg, temp3=self.temp3, idx=idx,
+                                    probs=probs)
+
+        l_loss = self._blocked(local_fn, img_l, txt_l, cap_lens)
+        g_loss = self._blocked(global_fn, img_g, txt_g)
+
+        if router_probs is not None and "label" in batch:
+            c_loss = L.router_classification_loss(router_probs, batch["label"])
+            c_acc = L.router_accuracy(router_probs, batch["label"])
+        else:
+            c_loss = jnp.asarray(0.0)
+            c_acc = jnp.asarray(0.0)
+
+        loss = (self.local_w * l_loss + self.global_w * g_loss
+                + self.classifier_w * c_loss)
+        metrics = {
+            "loss": loss,
+            "l_loss": l_loss,
+            "g_loss": g_loss,
+            "c_loss": c_loss,
+            "c_acc": c_acc,
+        }
+        return loss, metrics
+
+    # ------------------------------------------------------------------
+    def make_optimizer(self, gradient_clip_val: Optional[float] = None):
+        if self.optimizer_factory is None:
+            from medmoe_tpu.train.optim import adam
+
+            return adam(gradient_clip_val=gradient_clip_val)
+        return self.optimizer_factory(gradient_clip_val=gradient_clip_val)
+
+    def make_scheduler(self):
+        return self.scheduler_factory() if self.scheduler_factory else None

@@ -8,12 +8,18 @@ without TPU hardware.
 
 import os
 
+# NOTE: this image's sitecustomize imports jax at interpreter start to
+# register the axon TPU plugin, so env vars alone are too late —
+# jax.config.update is the reliable way to pin the platform.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,75 @@
+"""Shared tiny-model fixtures for fast CPU tests."""
+
+import numpy as np
+
+from medmoe_tpu.config import DotDict
+
+TINY_VISION = dict(
+    model_name="swin", use_moe=True, embed_dim=16, num_experts=3,
+    moe_mode="gather", image_size=56, swin_embed_dim=8, swin_depths=[1, 1],
+    swin_num_heads=[1, 2], swin_window_size=7, drop_path_rate=0.0,
+    dtype="float32", freeze_cnn=False, pretrained=False,
+)
+TINY_TEXT = dict(
+    freeze_bert=True, last_n_layers=2, aggregate_method="sum", norm=False,
+    agg_tokens=True, max_length=10, embed_dim=16, hidden_size=16,
+    num_layers=2, num_heads=2, intermediate_size=32, vocab_size=200,
+    dtype="float32", projection=False,
+)
+TINY_LOSS = dict(
+    soft_label=False, temp1=4.0, temp2=5.0, temp3=10.0, agg="sum",
+    global_loss_weight=0.5, local_loss_weight=0.5, classifier_loss_weight=2.0,
+)
+
+CORPUS = [
+    "chest xray shows pneumonia in the left lung",
+    "mri of the brain with contrast",
+    "ct scan of the abdomen appears normal",
+    "ultrasound of the thyroid gland",
+    "histopathology slide of tissue sample",
+]
+
+
+def tiny_vision(**kw):
+    d = dict(TINY_VISION)
+    d.update(kw)
+    return DotDict(d)
+
+
+def tiny_text(**kw):
+    d = dict(TINY_TEXT)
+    d.update(kw)
+    return DotDict(d)
+
+
+def tiny_loss(**kw):
+    d = dict(TINY_LOSS)
+    d.update(kw)
+    return DotDict(d)
+
+
+def tiny_batch(batch_size=4, image_size=56, max_length=10, seed=0):
+    from medmoe_tpu.data.tokenizer import load_or_build_tokenizer
+
+    rng = np.random.RandomState(seed)
+    tok = load_or_build_tokenizer(corpus=CORPUS)
+    captions = [CORPUS[i % len(CORPUS)] for i in range(batch_size)]
+    enc = tok.encode_batch(captions, max_length=max_length)
+    return {
+        "image": rng.randn(batch_size, image_size, image_size, 3)
+                    .astype(np.float32),
+        "input_ids": enc["input_ids"],
+        "attention_mask": enc["attention_mask"],
+        "token_type_ids": enc["token_type_ids"],
+        "segment_ids": enc["segment_ids"],
+        "cap_lens": enc["cap_lens"],
+        "label": (np.arange(batch_size) % 3).astype(np.int32),
+    }, enc
+
+
+def tiny_module(**loss_kw):
+    from medmoe_tpu.train.module import MedMoEPretrainingModule
+
+    return MedMoEPretrainingModule(
+        model=DotDict(dict(vision=tiny_vision(), text=tiny_text())),
+        loss=tiny_loss(**loss_kw))

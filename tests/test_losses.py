@@ -1,0 +1,193 @@
+"""Loss numerics: the batched/masked TPU implementations must match naive
+per-sample implementations of the reference formulas
+(reference src/losses.py GLoRIA global :766-794 / local :961-1026)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from medmoe_tpu.ops import losses as L
+
+
+def _softmax(x, axis):
+    x = x - x.max(axis=axis, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _ce_diag(scores):
+    # mean CE with labels arange(B)
+    logprobs = scores - np.log(np.exp(scores - scores.max(-1, keepdims=True))
+                               .sum(-1, keepdims=True)) - scores.max(-1, keepdims=True)
+    return -np.mean(np.diagonal(logprobs))
+
+
+def naive_gloria_local(img, words, cap_lens, temp1, temp2, temp3, agg="sum"):
+    """Direct per-caption loop translation of the reference math
+    (losses.py:979-1015): slice valid words, double-softmax attention,
+    per-word cosine, exp/sum/log aggregation, symmetric CE."""
+    b, d, h, w = img.shape
+    m = h * w
+    context = img.reshape(b, d, m)
+    sims = np.zeros((b, b))  # [image, text]
+    for i in range(b):
+        n = int(cap_lens[i])
+        word = words[i][:, :n]                          # [D, n]
+        # attn: scores[b, m, t]
+        scores = np.einsum("bdm,dt->bmt", context, word)
+        a1 = _softmax(scores, axis=-1)                  # over words
+        a2 = _softmax(a1 * temp1, axis=-2)              # over regions
+        wei = np.einsum("bdm,bmt->bdt", context, a2)    # [b, D, n]
+        num = np.sum(word[None] * wei, axis=1)          # [b, n]
+        den = (np.linalg.norm(word, axis=0)[None]
+               * np.linalg.norm(wei, axis=1))
+        cos = num / np.maximum(den, 1e-8)
+        row = np.exp(cos * temp2)
+        if agg == "sum":
+            row = row.sum(axis=1)
+        else:
+            row = row.mean(axis=1)
+        sims[:, i] = np.log(row)
+    sims = sims * temp3
+    return _ce_diag(sims) + _ce_diag(sims.T)
+
+
+class TestGloriaLocal:
+    def test_matches_naive_loop(self):
+        rng = np.random.RandomState(0)
+        b, d, h, w, t = 5, 8, 4, 4, 7
+        img = rng.randn(b, d, h, w).astype(np.float32)
+        words = rng.randn(b, d, t).astype(np.float32)
+        cap_lens = np.array([3, 7, 5, 2, 6], dtype=np.int32)
+
+        expected = naive_gloria_local(img, words, cap_lens, 4.0, 5.0, 10.0)
+        out = L.gloria_local_loss(jnp.asarray(img), jnp.asarray(words),
+                                  jnp.asarray(cap_lens), 4.0, 5.0, 10.0)
+        got = float(out.loss0 + out.loss1)
+        np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+    def test_agg_mean(self):
+        rng = np.random.RandomState(1)
+        b, d, h, w, t = 3, 4, 2, 2, 5
+        img = rng.randn(b, d, h, w).astype(np.float32)
+        words = rng.randn(b, d, t).astype(np.float32)
+        cap_lens = np.array([2, 5, 4], dtype=np.int32)
+        expected = naive_gloria_local(img, words, cap_lens, 4.0, 5.0, 10.0,
+                                      agg="mean")
+        out = L.gloria_local_loss(jnp.asarray(img), jnp.asarray(words),
+                                  jnp.asarray(cap_lens), 4.0, 5.0, 10.0,
+                                  agg="mean")
+        np.testing.assert_allclose(float(out.loss0 + out.loss1), expected,
+                                   rtol=1e-4)
+
+    def test_att_maps_shape(self):
+        rng = np.random.RandomState(2)
+        img = rng.randn(3, 4, 2, 2).astype(np.float32)
+        words = rng.randn(3, 4, 5).astype(np.float32)
+        out = L.gloria_local_loss(jnp.asarray(img), jnp.asarray(words),
+                                  jnp.asarray([2, 3, 5]), return_att_maps=True)
+        assert out.att_maps.shape == (3, 5, 2, 2)
+
+    def test_gradable(self):
+        rng = np.random.RandomState(3)
+        img = jnp.asarray(rng.randn(3, 4, 2, 2).astype(np.float32))
+        words = jnp.asarray(rng.randn(3, 4, 5).astype(np.float32))
+        cl = jnp.asarray([2, 3, 5])
+
+        def f(i, w):
+            o = L.gloria_local_loss(i, w, cl)
+            return o.loss0 + o.loss1
+
+        gi, gw = jax.grad(f, argnums=(0, 1))(img, words)
+        assert np.all(np.isfinite(gi)) and np.all(np.isfinite(gw))
+        # masked word positions must get zero gradient
+        gw = np.asarray(gw)
+        assert np.allclose(gw[0, :, 2:], 0.0)  # cap_len=2 → t≥2 masked
+
+
+class TestGloriaGlobal:
+    def test_matches_naive(self):
+        rng = np.random.RandomState(0)
+        img = rng.randn(6, 8).astype(np.float32)
+        txt = rng.randn(6, 8).astype(np.float32)
+        scores = (img @ txt.T) / np.maximum(
+            np.linalg.norm(img, axis=1, keepdims=True)
+            * np.linalg.norm(txt, axis=1)[None], 1e-8) * 10.0
+        expected = _ce_diag(scores) + _ce_diag(scores.T)
+        got = float(L.gloria_global_loss(jnp.asarray(img), jnp.asarray(txt),
+                                         temp3=10.0))
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+    def test_zero_stubs(self):
+        z = L.ZEROGlobalContrastiveLoss()(jnp.ones((2, 4)), jnp.ones((2, 4)))
+        assert float(z) == 0.0
+        out = L.ZEROLocalContrastiveLoss()(jnp.ones((2, 4, 2, 2)),
+                                           jnp.ones((2, 4, 5)),
+                                           jnp.asarray([3, 3]))
+        assert float(out.loss0 + out.loss1) == 0.0
+
+
+class TestClipContrastive:
+    def test_single_device(self):
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+        txt = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+        loss = L.clip_contrastive_loss(img, txt, jnp.asarray(0.0))
+        assert np.isfinite(float(loss))
+        # perfectly aligned pairs → loss below random baseline
+        aligned = L.clip_contrastive_loss(img, img, jnp.asarray(4.0))
+        assert float(aligned) < float(loss)
+
+    def test_global_negatives_match_local_when_one_shard(self):
+        rng = np.random.RandomState(1)
+        img = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+        txt = jnp.asarray(rng.randn(8, 16).astype(np.float32))
+
+        def with_axis(i, t):
+            loss = L.clip_contrastive_loss(i, t, jnp.asarray(0.0),
+                                           axis_name="data")
+            return jax.lax.pmean(loss, "data")
+
+        gathered = jax.shard_map(
+            with_axis,
+            mesh=jax.make_mesh((1,), ("data",), devices=jax.devices()[:1]),
+            in_specs=jax.sharding.PartitionSpec("data"),
+            out_specs=jax.sharding.PartitionSpec(),
+        )(img, txt)
+        plain = L.clip_contrastive_loss(img, txt, jnp.asarray(0.0))
+        np.testing.assert_allclose(float(gathered), float(plain), rtol=1e-5)
+
+
+class TestHardNegative:
+    def test_matches_naive(self):
+        rng = np.random.RandomState(0)
+        imgs = rng.randn(6, 8).astype(np.float32)
+        caps = rng.randn(6, 8).astype(np.float32)
+        i = imgs / np.linalg.norm(imgs, axis=1, keepdims=True)
+        c = caps / np.linalg.norm(caps, axis=1, keepdims=True)
+        s = i @ c.T
+        diag = np.diagonal(s).copy()
+        s2 = s - 2 * np.diag(diag)
+        max_c = np.sort(s2, axis=0)[::-1][:1]
+        max_i = np.sort(s2, axis=1)[:, ::-1][:, :1]
+        expected = (np.maximum(max_c + (0.2 - diag)[None, :], 0).sum()
+                    + np.maximum(max_i + (0.2 - diag)[:, None], 0).sum())
+        got = float(L.hard_negative_loss(jnp.asarray(imgs), jnp.asarray(caps)))
+        np.testing.assert_allclose(got, expected, rtol=1e-5)
+
+
+class TestRouterLoss:
+    def test_double_softmax_quirk(self):
+        """CE must be applied on top of softmaxed probs (reference quirk)."""
+        probs = jnp.asarray([[0.7, 0.2, 0.1], [0.1, 0.8, 0.1]])
+        labels = jnp.asarray([0, 1])
+        got = float(L.router_classification_loss(probs, labels))
+        lp = np.log(_softmax(np.asarray(probs), axis=-1))
+        expected = -np.mean([lp[0, 0], lp[1, 1]])
+        np.testing.assert_allclose(got, expected, rtol=1e-6)
+
+    def test_accuracy(self):
+        probs = jnp.asarray([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4]])
+        labels = jnp.asarray([0, 1, 1])
+        assert abs(float(L.router_accuracy(probs, labels)) - 2 / 3) < 1e-6
