@@ -1,0 +1,99 @@
+"""Train CLI — the reference's ``python src/train.py experiment=...`` surface
+(reference src/train.py). Overrides are hydra-style ``key=value`` argv.
+
+Example:
+    python -m medmoe_tpu.cli.train experiment=pretraining_medmoe \
+        data=synthetic debug=fdr trainer.accelerator=cpu
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from medmoe_tpu.config import compose, to_dict
+from medmoe_tpu.utils import instantiate, instantiate_dict
+from medmoe_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def seed_everything(seed: Optional[int]) -> None:
+    if seed is None:
+        return
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def _apply_accelerator(cfg) -> None:
+    """trainer.accelerator=cpu pins the host platform (test/debug parity
+    with the reference's trainer=cpu/ddp_sim configs)."""
+    import jax
+
+    accel = cfg.trainer.get("accelerator", "tpu")
+    if accel == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+
+def train(cfg) -> Tuple[Dict[str, float], Dict]:
+    """Mirrors reference src/train.py:42-108: instantiate everything from
+    config, fit, optionally test with the best checkpoint."""
+    _apply_accelerator(cfg)
+    seed_everything(cfg.get("seed"))
+
+    log.info(f"instantiating datamodule <{cfg.data._target_}>")
+    datamodule = instantiate(cfg.data)
+
+    log.info(f"instantiating module <{cfg.model._target_}>")
+    module = instantiate(cfg.model)
+
+    # the embedding table must cover the actual tokenizer vocabulary (a
+    # corpus-built test vocab can exceed the configured size)
+    tokenizer = getattr(datamodule, "tokenizer", None)
+    if tokenizer is not None:
+        module.text_cfg["vocab_size"] = max(
+            int(module.text_cfg.get("vocab_size", 0)), tokenizer.vocab_size)
+
+    callbacks = instantiate_dict(cfg.get("callbacks"))
+    loggers = instantiate_dict(cfg.get("logger"))
+
+    log.info("instantiating trainer")
+    trainer = instantiate(cfg.trainer, callbacks=callbacks, loggers=loggers,
+                          seed=cfg.get("seed") or 0)
+
+    for logger in loggers:
+        logger.log_hyperparams(to_dict(cfg))
+
+    metrics: Dict[str, float] = {}
+    if cfg.get("train", True):
+        trainer.fit(module, datamodule, ckpt_path=cfg.get("ckpt_path"))
+        if trainer.metrics_history:
+            metrics.update(trainer.metrics_history[-1])
+
+    if cfg.get("test", False):
+        ckpt = trainer.best_model_path
+        if not ckpt:
+            log.warning("best ckpt not found — testing with current weights")
+        metrics.update(trainer.test(module, datamodule, ckpt_path=ckpt))
+
+    return metrics, {"trainer": trainer, "module": module,
+                     "datamodule": datamodule}
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    cfg = compose("train", overrides)
+    metrics, _ = train(cfg)
+    # optimized-metric return for sweepers (reference src/train.py:126-128)
+    metric_name = cfg.get("optimized_metric")
+    if metric_name:
+        log.info(f"optimized metric {metric_name} = "
+                 f"{metrics.get(metric_name)}")
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

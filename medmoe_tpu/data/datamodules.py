@@ -1,0 +1,444 @@
+"""Data modules: named dataset loaders with train/val/test iterators.
+
+Replaces the reference's LightningDataModules (src/data/*_datamodule.py)
+with host-side pipelines that emit fully device-ready numpy batches:
+images decoded/resized/normalized AND captions tokenized (with merge
+segment ids + cap_lens) on the host — nothing dynamic remains for the
+device step.
+
+Every module yields batches shaped:
+    image          [B, S, S, 3] float32 (NHWC, normalized)
+    input_ids / attention_mask / token_type_ids / segment_ids  [B, T] int32
+    cap_lens       [B] int32
+    label          [B] int32 (modality class — router supervision)
+and exposes ``steps_per_epoch`` when known.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import queue
+import random
+import threading
+from typing import Any, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from medmoe_tpu.data.shards import WebDatasetReader
+from medmoe_tpu.data.templates import sample_caption
+from medmoe_tpu.data.tokenizer import WordPieceTokenizer, load_or_build_tokenizer
+from medmoe_tpu.data.transforms import ImageTransform, decode_image
+
+
+def prefetched(it: Iterator, size: int = 2) -> Iterator:
+    """Background-thread prefetch so host preprocessing overlaps device
+    compute (the reference instead preprocesses inside model.forward)."""
+    q: queue.Queue = queue.Queue(maxsize=size)
+    sentinel = object()
+    error: List[BaseException] = []
+
+    def worker():
+        try:
+            for item in it:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            error.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if error:
+                raise error[0]
+            return
+        yield item
+
+
+class BaseDataModule:
+    """Common tokenization + batching machinery."""
+
+    def __init__(self, batch_size: int = 32, num_workers: int = 0,
+                 image_size: int = 224, max_length: int = 25,
+                 vocab_path: Optional[str] = None, seed: int = 0, **_ignored):
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self.image_size = image_size
+        self.max_length = max_length
+        self.vocab_path = vocab_path
+        self.seed = seed
+        self._tokenizer: Optional[WordPieceTokenizer] = None
+        self.steps_per_epoch: Optional[int] = None
+
+    # -- tokenizer ------------------------------------------------------
+    @property
+    def tokenizer(self) -> WordPieceTokenizer:
+        if self._tokenizer is None:
+            self._tokenizer = load_or_build_tokenizer(
+                vocab_path=self.vocab_path, corpus=self._corpus_fallback())
+        return self._tokenizer
+
+    def set_tokenizer(self, tok: WordPieceTokenizer) -> None:
+        self._tokenizer = tok
+
+    def _corpus_fallback(self) -> Optional[Sequence[str]]:
+        return None
+
+    # -- batching -------------------------------------------------------
+    def _collate(self, images: List[np.ndarray], captions: List[str],
+                 labels: List[int]) -> Dict[str, np.ndarray]:
+        enc = self.tokenizer.encode_batch(captions, max_length=self.max_length)
+        return {
+            "image": np.stack(images).astype(np.float32),
+            "input_ids": enc["input_ids"],
+            "attention_mask": enc["attention_mask"],
+            "token_type_ids": enc["token_type_ids"],
+            "segment_ids": enc["segment_ids"],
+            "cap_lens": enc["cap_lens"],
+            "label": np.asarray(labels, dtype=np.int32),
+        }
+
+    def _batched(self, samples: Iterator, drop_last: bool = True
+                 ) -> Iterator[Dict[str, np.ndarray]]:
+        images, captions, labels = [], [], []
+        for img, cap, lab in samples:
+            images.append(img)
+            captions.append(cap)
+            labels.append(lab)
+            if len(images) == self.batch_size:
+                yield self._collate(images, captions, labels)
+                images, captions, labels = [], [], []
+        if images and not drop_last:
+            yield self._collate(images, captions, labels)
+
+    # -- API ------------------------------------------------------------
+    def train_dataloader(self, epoch: int = 0) -> Iterator:
+        raise NotImplementedError
+
+    def val_dataloader(self) -> Iterator:
+        raise NotImplementedError
+
+    def test_dataloader(self) -> Iterator:
+        return self.val_dataloader()
+
+    @property
+    def num_classes(self) -> int:
+        return 6
+
+
+class SyntheticDataModule(BaseDataModule):
+    """In-memory random pairs — hermetic smoke/bench data (no disk)."""
+
+    CAPTIONS = [
+        "chest xray shows bilateral infiltrates",
+        "mri of the brain with contrast enhancement",
+        "ct scan of the abdomen appears normal",
+        "ultrasound of the thyroid gland with nodule",
+        "histopathology slide of stained tissue",
+        "fundus photograph of the retina",
+    ]
+
+    def __init__(self, num_samples: int = 256, num_classes: int = 6, **kw):
+        super().__init__(**kw)
+        self.num_samples = num_samples
+        self._num_classes = num_classes
+        self.steps_per_epoch = num_samples // self.batch_size
+
+    def _corpus_fallback(self):
+        return self.CAPTIONS
+
+    def _iter(self, seed: int) -> Iterator:
+        rng = np.random.RandomState(seed)
+        for i in range(self.num_samples):
+            img = rng.randn(self.image_size, self.image_size, 3).astype(
+                np.float32)
+            cls = i % self._num_classes
+            yield img, self.CAPTIONS[cls % len(self.CAPTIONS)], cls
+
+    def train_dataloader(self, epoch: int = 0) -> Iterator:
+        return self._batched(self._iter(self.seed + epoch))
+
+    def val_dataloader(self) -> Iterator:
+        return self._batched(self._iter(self.seed + 10_000))
+
+    @property
+    def num_classes(self) -> int:
+        return self._num_classes
+
+
+class UnimedDataModule(BaseDataModule):
+    """UniMed webdataset mix (reference src/data/unimed_datamodule.py):
+    tar shards with {jpg|png, txt, cls}, resampled shard sampling, caption
+    template sampling, modality label for router supervision."""
+
+    def __init__(self, train_data_paths: str = "", val_data_paths: str = "",
+                 test_data_paths: str = "", data_dir: str = "",
+                 resampled: bool = True, shuffle_buffer: int = 5000,
+                 weights: Optional[str] = None, pin_memory: bool = False,
+                 **kw):
+        super().__init__(**kw)
+        self.train_data_paths = train_data_paths
+        self.val_data_paths = val_data_paths
+        self.test_data_paths = test_data_paths or val_data_paths
+        self.resampled = resampled
+        self.shuffle_buffer = shuffle_buffer
+        self.weights = weights
+
+    def _corpus_fallback(self):
+        return SyntheticDataModule.CAPTIONS
+
+    def _reader(self, urls: str, train: bool) -> WebDatasetReader:
+        import jax
+
+        return WebDatasetReader(
+            urls, weights=self.weights if train else None,
+            resampled=self.resampled and train,
+            seed=self.seed,
+            shuffle_buffer=self.shuffle_buffer if train else 0,
+            num_processes=jax.process_count(),
+            process_index=jax.process_index(),
+        )
+
+    def _decode_stream(self, reader: WebDatasetReader, epoch: int,
+                       train: bool) -> Iterator:
+        transform = ImageTransform(self.image_size, train=train,
+                                   seed=self.seed + epoch)
+        rng = random.Random(self.seed * 1_000_003 + epoch)
+        for sample in reader.samples(epoch):
+            img_bytes = sample.get("jpg") or sample.get("png") \
+                or sample.get("jpeg")
+            txt = sample.get("txt")
+            if img_bytes is None or txt is None:
+                continue
+            try:
+                img = transform(decode_image(img_bytes))
+            except Exception:
+                continue          # nothrow (reference log_and_continue)
+            caption = sample_caption(txt.decode("utf-8", "replace"), rng)
+            label = int(sample.get("cls", b"0").decode() or 0)
+            yield img, caption, label
+
+    def train_dataloader(self, epoch: int = 0) -> Iterator:
+        reader = self._reader(self.train_data_paths, train=True)
+        return prefetched(
+            self._batched(self._decode_stream(reader, epoch, train=True)),
+            size=4)
+
+    def val_dataloader(self) -> Iterator:
+        reader = self._reader(self.val_data_paths, train=False)
+        return prefetched(
+            self._batched(self._decode_stream(reader, 0, train=False)),
+            size=2)
+
+
+class CheXpertDataModule(BaseDataModule):
+    """CheXpert CSV dataset (reference src/data/components/chexpert.py):
+    frontal images, 5 competition tasks, uncertain-label mapping per the
+    CheXpert paper, aspect-preserving resize + zero-pad."""
+
+    TASKS = ["No Finding", "Enlarged Cardiomediastinum", "Cardiomegaly",
+             "Lung Lesion", "Lung Opacity", "Edema", "Consolidation",
+             "Pneumonia", "Atelectasis", "Pneumothorax", "Pleural Effusion",
+             "Pleural Other", "Fracture", "Support Devices"]
+    COMPETITION_TASKS = ["Atelectasis", "Cardiomegaly", "Consolidation",
+                         "Edema", "Pleural Effusion"]
+    UNCERTAIN_MAPPINGS = {"Atelectasis": 1, "Cardiomegaly": 0,
+                          "Consolidation": 0, "Edema": 1,
+                          "Pleural Effusion": 1}
+
+    def __init__(self, data_dir: str = "", fraction: float = 1.0,
+                 sample_n: Optional[int] = None, img_type: str = "Frontal",
+                 pin_memory: bool = False, **kw):
+        super().__init__(**kw)
+        self.data_dir = data_dir
+        self.fraction = fraction
+        self.sample_n = sample_n
+        self.img_type = img_type
+
+    def _read_csv(self, name: str) -> List[Dict[str, str]]:
+        path = os.path.join(self.data_dir, name)
+        with open(path, newline="") as f:
+            return list(csv.DictReader(f))
+
+    def _rows(self, split: str) -> List[Dict[str, Any]]:
+        fname = {"train": "train_split.csv", "valid": "valid_split.csv",
+                 "test": "valid.csv"}[split]
+        if not os.path.exists(os.path.join(self.data_dir, fname)):
+            fname = "train.csv" if split == "train" else "valid.csv"
+        rows = self._read_csv(fname)
+        if self.img_type != "All":
+            rows = [r for r in rows
+                    if r.get("Frontal/Lateral", "Frontal") == self.img_type]
+        if split == "train" and self.fraction < 1.0:
+            rng = random.Random(self.seed)
+            rows = rng.sample(rows, max(1, int(len(rows) * self.fraction)))
+        out = []
+        for r in rows:
+            label = []
+            for task in self.COMPETITION_TASKS:
+                v = float(r.get(task) or 0.0)
+                if v == -1.0:
+                    v = float(self.UNCERTAIN_MAPPINGS[task])
+                label.append(v)
+            rel = "/".join(r["Path"].split("/")[1:])
+            out.append({"path": os.path.join(self.data_dir, rel),
+                        "label": np.asarray(label, np.float32),
+                        "report": r.get("Report Impression", "")})
+        return out
+
+    def _iter(self, split: str, train: bool) -> Iterator:
+        transform = ImageTransform(self.image_size, pad_to_square=True,
+                                   train=train, seed=self.seed)
+        for row in self._rows(split):
+            try:
+                img = transform(decode_image(open(row["path"], "rb").read()))
+            except Exception:
+                continue
+            yield img, row["label"]
+
+    def _label_batched(self, samples: Iterator) -> Iterator:
+        images, labels = [], []
+        for img, lab in samples:
+            images.append(img)
+            labels.append(lab)
+            if len(images) == self.batch_size:
+                yield {"image": np.stack(images),
+                       "label": np.stack(labels)}
+                images, labels = [], []
+        if images:
+            yield {"image": np.stack(images), "label": np.stack(labels)}
+
+    def train_dataloader(self, epoch: int = 0) -> Iterator:
+        return prefetched(self._label_batched(self._iter("train", True)))
+
+    def val_dataloader(self) -> Iterator:
+        return prefetched(self._label_batched(self._iter("valid", False)))
+
+    def test_dataloader(self) -> Iterator:
+        return prefetched(self._label_batched(self._iter("test", False)))
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.COMPETITION_TASKS)
+
+
+class PmcoaDataModule(BaseDataModule):
+    """PMC-OA jsonl image-caption pairs with modality labels (reference
+    src/data/components/pmcoa.py:100-145)."""
+
+    def __init__(self, data_dir: str = "", ann_path: str = "",
+                 pin_memory: bool = False, **kw):
+        super().__init__(**kw)
+        self.data_dir = data_dir
+        self.ann_path = ann_path
+
+    def _corpus_fallback(self):
+        return SyntheticDataModule.CAPTIONS
+
+    def _records(self, split: str) -> List[Dict[str, Any]]:
+        records = []
+        with open(self.ann_path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    records.append(json.loads(line))
+        n = len(records)
+        # deterministic 90/5/5 split
+        rng = random.Random(self.seed)
+        idx = list(range(n))
+        rng.shuffle(idx)
+        bounds = {"train": idx[: int(0.9 * n)],
+                  "valid": idx[int(0.9 * n): int(0.95 * n)],
+                  "test": idx[int(0.95 * n):]}
+        return [records[i] for i in bounds[split]]
+
+    def _iter(self, split: str, train: bool) -> Iterator:
+        transform = ImageTransform(self.image_size, norm="pmcoa",
+                                   train=train, seed=self.seed)
+        for rec in self._records(split):
+            path = rec.get("image") or rec.get("image_path") or ""
+            if not os.path.isabs(path):
+                path = os.path.join(self.data_dir, path)
+            try:
+                img = transform(decode_image(open(path, "rb").read()))
+            except Exception:
+                continue
+            caption = rec.get("caption") or rec.get("text") or ""
+            label = int(rec.get("label", rec.get("cls", 0)))
+            yield img, caption, label
+
+    def train_dataloader(self, epoch: int = 0) -> Iterator:
+        return prefetched(self._batched(self._iter("train", True)))
+
+    def val_dataloader(self) -> Iterator:
+        return prefetched(self._batched(self._iter("valid", False),
+                                        drop_last=False))
+
+
+class SlakeDataModule(BaseDataModule):
+    """SLAKE VQA json (reference src/data/components/slake.py): filters by
+    content_type/language, derives modality + abnormality labels."""
+
+    MODALITIES = {"MRI": 0, "CT": 1, "X-Ray": 2}
+
+    def __init__(self, data_dir: str = "", label_type: str = "modality",
+                 content_type: Optional[str] = None, language: str = "en",
+                 pin_memory: bool = False, **kw):
+        super().__init__(**kw)
+        self.data_dir = data_dir
+        self.label_type = label_type
+        self.content_type = content_type
+        self.language = language
+
+    def _corpus_fallback(self):
+        return SyntheticDataModule.CAPTIONS
+
+    def _records(self, split: str) -> List[Dict[str, Any]]:
+        fname = {"train": "train.json", "valid": "validate.json",
+                 "test": "test.json"}[split]
+        with open(os.path.join(self.data_dir, fname)) as f:
+            records = json.load(f)
+        out = []
+        for r in records:
+            if self.language and r.get("q_lang", "en") != self.language:
+                continue
+            if self.content_type and r.get("content_type") != self.content_type:
+                continue
+            out.append(r)
+        return out
+
+    def _label(self, rec: Dict[str, Any]) -> int:
+        if self.label_type == "modality":
+            return self.MODALITIES.get(rec.get("modality", ""), 0)
+        if self.label_type == "abnormal":
+            qa = (rec.get("question", "") + " " + rec.get("answer", "")).lower()
+            return int("abnormal" in qa or "tumor" in qa or "lesion" in qa)
+        return int(rec.get("content_type_id", 0))
+
+    def _iter(self, split: str, train: bool) -> Iterator:
+        transform = ImageTransform(self.image_size, norm="slake",
+                                   train=train, seed=self.seed)
+        for rec in self._records(split):
+            path = os.path.join(self.data_dir, "imgs",
+                                rec.get("img_name", ""))
+            try:
+                img = transform(decode_image(open(path, "rb").read()))
+            except Exception:
+                continue
+            caption = (rec.get("question", "") + " "
+                       + rec.get("answer", "")).strip()
+            yield img, caption, self._label(rec)
+
+    def train_dataloader(self, epoch: int = 0) -> Iterator:
+        return prefetched(self._batched(self._iter("train", True)))
+
+    def val_dataloader(self) -> Iterator:
+        return prefetched(self._batched(self._iter("valid", False),
+                                        drop_last=False))
+
+    @property
+    def num_classes(self) -> int:
+        return {"modality": 3, "abnormal": 2}.get(self.label_type, 104)

@@ -79,38 +79,56 @@ def cosine_similarity(x1: jnp.ndarray, x2: jnp.ndarray, axis: int,
 def gloria_local_loss(img_features: jnp.ndarray, words_emb: jnp.ndarray,
                       cap_lens: jnp.ndarray, temp1: float = 4.0,
                       temp2: float = 5.0, temp3: float = 10.0,
-                      agg: str = "sum", return_att_maps: bool = False
-                      ) -> GloriaLocalOutput:
+                      agg: str = "sum", return_att_maps: bool = False,
+                      text_chunk: Optional[int] = 8) -> GloriaLocalOutput:
     """Batched GLoRIA local (word-region) contrastive loss.
 
     img_features: [B, D, H, W]; words_emb: [B, D, T]; cap_lens: [B] int.
     Matches reference GLORIALocalContrastiveLoss.forward (losses.py:961-1026):
     similarities[b_img, i_text] = temp3 · log Σ_{t<cap_len_i} exp(temp2 ·
     cos(word, attended_context)); symmetric CE on the B×B matrix.
+
+    ``text_chunk`` bounds peak memory: the [Bt, Bi, M, T] attention tensor is
+    built for ``text_chunk`` captions at a time under a lax.map +
+    jax.checkpoint (rematerialized in backward) — identical numerics, peak
+    activation memory reduced by B/text_chunk. None → single fused pass.
     """
     b, d, h, w = img_features.shape
     t = words_emb.shape[-1]
     context = img_features.reshape(b, d, h * w)
     word_mask = jnp.arange(t)[None, :] < cap_lens[:, None]     # [B, T]
 
-    wei_context, attn = attention_fn(words_emb, context, temp1, word_mask)
-    # row_sim[i, b, t] = cos over D
-    row_sim = cosine_similarity(words_emb[:, None], wei_context, axis=2)
-    row_sim = row_sim * temp2
-    # log-sum-exp over valid words (reference exp → sum → log)
-    row_sim = jnp.where(word_mask[:, None, :], jnp.exp(row_sim), 0.0)
-    if agg == "sum":
-        sim = jnp.sum(row_sim, axis=-1)                        # [i, b]
+    def sim_block(words_c, mask_c, lens_c):
+        """words_c [c, D, T], mask_c [c, T] → sim [c, B]."""
+        wei_context, attn = attention_fn(words_c, context, temp1, mask_c)
+        row_sim = cosine_similarity(words_c[:, None], wei_context, axis=2)
+        row_sim = row_sim * temp2
+        row_sim = jnp.where(mask_c[:, None, :], jnp.exp(row_sim), 0.0)
+        if agg == "sum":
+            s = jnp.sum(row_sim, axis=-1)                      # [c, B]
+        else:
+            s = jnp.sum(row_sim, axis=-1) / jnp.maximum(lens_c[:, None], 1)
+        return jnp.log(s) * temp3, attn
+
+    if text_chunk and b > text_chunk and b % text_chunk == 0 \
+            and not return_att_maps:
+        nc = b // text_chunk
+        wc = words_emb.reshape(nc, text_chunk, d, t)
+        mc = word_mask.reshape(nc, text_chunk, t)
+        lc = cap_lens.reshape(nc, text_chunk)
+        blocks = jax.lax.map(
+            jax.checkpoint(lambda args: sim_block(*args)[0]), (wc, mc, lc))
+        sim = blocks.reshape(b, b)                             # [i, b]
+        attn = None
     else:
-        sim = jnp.sum(row_sim, axis=-1) / jnp.maximum(cap_lens[:, None], 1)
-    sim = jnp.log(sim) * temp3
+        sim, attn = sim_block(words_emb, word_mask, cap_lens)
 
     # reference layout: similarities[b_img, i_text]
     similarities = sim.T                                       # [b, i]
     loss0 = _cross_entropy_diag(similarities)
     loss1 = _cross_entropy_diag(similarities.T)
     att_maps = None
-    if return_att_maps:
+    if return_att_maps and attn is not None:
         diag = jnp.einsum("iitm->itm", attn)                   # [B, T, M]
         att_maps = diag.reshape(b, t, h, w)
     return GloriaLocalOutput(loss0=loss0, loss1=loss1, att_maps=att_maps)
@@ -223,10 +241,14 @@ class HardNegativeContrastiveLoss:
 
 
 class GLORIALocalContrastiveLoss:
+    def __init__(self, text_chunk: Optional[int] = 8):
+        self.text_chunk = text_chunk
+
     def __call__(self, img_features, words_emb, cap_lens, temp1=4.0,
                  temp2=5.0, temp3=10.0, agg="sum", idx=None, probs=None):
         return gloria_local_loss(img_features, words_emb, cap_lens,
-                                 temp1, temp2, temp3, agg)
+                                 temp1, temp2, temp3, agg,
+                                 text_chunk=self.text_chunk)
 
 
 class ZEROLocalContrastiveLoss:

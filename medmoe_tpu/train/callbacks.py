@@ -1,0 +1,117 @@
+"""Trainer callbacks (reference configs/callbacks/default.yaml surface):
+ModelCheckpoint (orbax-backed), EarlyStopping, ModelSummary."""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Any, Dict, Optional
+
+
+class Callback:
+    def on_train_start(self, trainer) -> None: ...
+    def on_epoch_end(self, trainer, epoch: int,
+                     metrics: Dict[str, float]) -> None: ...
+    def on_train_end(self, trainer) -> None: ...
+
+    @property
+    def should_stop(self) -> bool:
+        return False
+
+
+class ModelCheckpoint(Callback):
+    """Monitors a metric, keeps best + last orbax checkpoints
+    (reference ModelCheckpoint: monitor val/loss, save_last, top-1)."""
+
+    def __init__(self, dirpath: str = "checkpoints",
+                 filename: str = "epoch_{epoch:03d}",
+                 monitor: str = "val/loss", mode: str = "min",
+                 save_last: bool = True, save_top_k: int = 1,
+                 auto_insert_metric_name: bool = False):
+        self.dirpath = dirpath
+        self.filename = filename
+        self.monitor = monitor
+        self.mode = mode
+        self.save_last = save_last
+        self.save_top_k = save_top_k
+        self.best_value = math.inf if mode == "min" else -math.inf
+        self.best_path: Optional[str] = None
+
+    def _is_better(self, value: float) -> bool:
+        return value < self.best_value if self.mode == "min" \
+            else value > self.best_value
+
+    def on_epoch_end(self, trainer, epoch: int,
+                     metrics: Dict[str, float]) -> None:
+        from medmoe_tpu.utils.checkpoint import save_checkpoint
+
+        value = metrics.get(self.monitor)
+        if self.save_top_k != 0 and value is not None \
+                and self._is_better(float(value)):
+            self.best_value = float(value)
+            name = self.filename.format(epoch=epoch)
+            self.best_path = os.path.join(self.dirpath, name)
+            save_checkpoint(self.best_path, trainer.state,
+                            extra={"epoch": epoch, self.monitor: value})
+        if self.save_last:
+            save_checkpoint(os.path.join(self.dirpath, "last"),
+                            trainer.state, extra={"epoch": epoch})
+
+
+class EarlyStopping(Callback):
+    """Stops on plateau or non-finite monitored metric (reference
+    early_stopping.yaml: monitor val/loss, check_finite)."""
+
+    def __init__(self, monitor: str = "val/loss", patience: int = 100,
+                 mode: str = "min", min_delta: float = 0.0,
+                 check_finite: bool = True):
+        self.monitor = monitor
+        self.patience = patience
+        self.mode = mode
+        self.min_delta = min_delta
+        self.check_finite = check_finite
+        self.best = math.inf if mode == "min" else -math.inf
+        self.bad_epochs = 0
+        self._stop = False
+
+    @property
+    def should_stop(self) -> bool:
+        return self._stop
+
+    def on_epoch_end(self, trainer, epoch: int,
+                     metrics: Dict[str, float]) -> None:
+        value = metrics.get(self.monitor)
+        if value is None:
+            return
+        value = float(value)
+        if self.check_finite and not math.isfinite(value):
+            self._stop = True
+            return
+        improved = (value < self.best - self.min_delta if self.mode == "min"
+                    else value > self.best + self.min_delta)
+        if improved:
+            self.best = value
+            self.bad_epochs = 0
+        else:
+            self.bad_epochs += 1
+            if self.bad_epochs >= self.patience:
+                self._stop = True
+
+
+class ModelSummary(Callback):
+    """Logs parameter counts at train start (reference RichModelSummary +
+    log_hyperparameters param counts, src/utils/logging_utils.py:33-57)."""
+
+    def __init__(self, max_depth: int = -1):
+        self.max_depth = max_depth
+
+    def on_train_start(self, trainer) -> None:
+        import jax
+
+        from medmoe_tpu.utils.logging import get_logger
+
+        params = trainer.state.params
+        total = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        get_logger(__name__).info(
+            f"model parameters: {total / 1e6:.1f}M "
+            f"({len(jax.tree_util.tree_leaves(params))} arrays)")

@@ -1,0 +1,303 @@
+"""The Trainer: epoch loop, validation, checkpointing, callbacks, logging.
+
+TPU-native replacement for the reference's Lightning Trainer usage
+(reference src/train.py:73-101 + configs/trainer/*): one process per host,
+SPMD over a jax.sharding.Mesh inside the jitted step. Supports the
+reference's trainer knobs: min/max epochs, gradient clip + accumulation,
+limit_{train,val,test}_batches, overfit_batches, num_sanity_val_steps,
+detect_anomaly (jax.debug_nans), check_val_every_n_epoch, profiler.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import time
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from medmoe_tpu.parallel.mesh import make_mesh
+from medmoe_tpu.parallel.sharding import param_shardings
+from medmoe_tpu.train.optim import get_learning_rate, set_learning_rate
+from medmoe_tpu.train.state import TrainState
+from medmoe_tpu.train.step import build_eval_step, build_train_step
+from medmoe_tpu.utils.checkpoint import restore_checkpoint
+from medmoe_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def _limit(iterable: Iterable, limit: Optional[float],
+           steps_per_epoch: Optional[int]) -> Iterable:
+    if limit is None:
+        yield from iterable
+        return
+    if isinstance(limit, float) and limit <= 1.0 and steps_per_epoch:
+        limit = max(1, int(limit * steps_per_epoch))
+    limit = int(limit)
+    for i, item in enumerate(iterable):
+        if i >= limit:
+            return
+        yield item
+
+
+class Trainer:
+    def __init__(self, min_epochs: int = 1, max_epochs: int = 10,
+                 accelerator: str = "tpu", devices: Any = "auto",
+                 accumulate_grad_batches: int = 1,
+                 gradient_clip_val: Optional[float] = None,
+                 mesh: Optional[Dict[str, int]] = None,
+                 check_val_every_n_epoch: int = 1,
+                 limit_train_batches: Optional[float] = None,
+                 limit_val_batches: Optional[float] = None,
+                 limit_test_batches: Optional[float] = None,
+                 num_sanity_val_steps: int = 2,
+                 log_every_n_steps: int = 10,
+                 deterministic: bool = False,
+                 detect_anomaly: bool = False,
+                 overfit_batches: int = 0,
+                 steps_per_epoch: Optional[int] = None,
+                 profiler: Optional[str] = None,
+                 default_root_dir: str = ".",
+                 callbacks: Optional[List] = None,
+                 loggers: Optional[List] = None,
+                 seed: int = 0):
+        self.min_epochs = min_epochs
+        self.max_epochs = max_epochs
+        self.accumulate_grad_batches = max(int(accumulate_grad_batches), 1)
+        self.gradient_clip_val = gradient_clip_val
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.limit_train_batches = limit_train_batches
+        self.limit_val_batches = limit_val_batches
+        self.limit_test_batches = limit_test_batches
+        self.num_sanity_val_steps = num_sanity_val_steps
+        self.log_every_n_steps = log_every_n_steps
+        self.detect_anomaly = detect_anomaly
+        self.overfit_batches = int(overfit_batches or 0)
+        self.steps_per_epoch = steps_per_epoch
+        self.profiler = profiler
+        self.default_root_dir = default_root_dir
+        self.callbacks = callbacks or []
+        self.loggers = loggers or []
+        self.seed = seed
+
+        n = len(jax.devices())
+        if isinstance(devices, int):
+            n = min(devices, n)
+        mesh_cfg = mesh or {}
+        self.mesh = make_mesh(data=int(mesh_cfg.get("data", -1) or -1),
+                              expert=int(mesh_cfg.get("expert", 1) or 1),
+                              devices=jax.devices()[:n])
+        self.expert_parallel = int(mesh_cfg.get("expert", 1) or 1) > 1
+
+        self.state: Optional[TrainState] = None
+        self.module = None
+        self.scheduler = None
+        self.best_model_path: Optional[str] = None
+        self.metrics_history: List[Dict[str, float]] = []
+
+    # ------------------------------------------------------------------
+    def _log(self, metrics: Dict[str, float], step: int) -> None:
+        for logger in self.loggers:
+            logger.log_metrics(metrics, step)
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        shardings = param_shardings(state.params, self.mesh,
+                                    self.expert_parallel)
+        params = jax.tree_util.tree_map(jax.device_put, state.params,
+                                        shardings)
+        return state.replace(params=params,
+                             opt_state=state.tx.init(params))
+
+    def _stack_accum(self, batches: List[Dict[str, np.ndarray]]
+                     ) -> Dict[str, np.ndarray]:
+        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+
+    # ------------------------------------------------------------------
+    def fit(self, module, datamodule, ckpt_path: Optional[str] = None) -> None:
+        if self.detect_anomaly:
+            jax.config.update("jax_debug_nans", True)
+        self.module = module
+        rng = jax.random.PRNGKey(self.seed)
+
+        # init from one sample batch
+        init_batch = next(iter(datamodule.train_dataloader(epoch=0)))
+        params = jax.jit(module.init_params)(rng, init_batch)
+        tx = module.make_optimizer(gradient_clip_val=self.gradient_clip_val)
+        self.state = self._place_state(TrainState.create(params, tx))
+        self.scheduler = module.make_scheduler()
+
+        if ckpt_path:
+            self.state = restore_checkpoint(ckpt_path, self.state)
+            log.info(f"resumed from {ckpt_path} at step {int(self.state.step)}")
+
+        step_cache: Dict[int, Any] = {}
+
+        def get_step(accum: int):
+            if accum not in step_cache:
+                step_cache[accum] = build_train_step(
+                    module, mesh=self.mesh, accum_steps=accum)
+            return step_cache[accum]
+
+        train_step = get_step(self.accumulate_grad_batches)
+        eval_step = build_eval_step(module, mesh=self.mesh)
+
+        for cb in self.callbacks:
+            cb.on_train_start(self)
+
+        # sanity validation (Lightning runs val before training)
+        if self.num_sanity_val_steps:
+            for i, batch in enumerate(datamodule.val_dataloader()):
+                if i >= self.num_sanity_val_steps:
+                    break
+                eval_step(self.state.params, batch)
+
+        profile_dir = None
+        if self.profiler:
+            profile_dir = os.path.join(self.default_root_dir, "profile")
+            jax.profiler.start_trace(profile_dir)
+
+        step_rng = rng
+        global_step = int(self.state.step)
+        stop = False
+        overfit_cache: List = []
+
+        for epoch in range(self.max_epochs):
+            epoch_metrics: Dict[str, List[float]] = {}
+            micro_batches: List = []
+            t_epoch = time.time()
+            n_pairs = 0
+
+            if self.overfit_batches:
+                if not overfit_cache:
+                    for batch in datamodule.train_dataloader(epoch=0):
+                        overfit_cache.append(batch)
+                        if len(overfit_cache) >= self.overfit_batches:
+                            break
+                train_iter: Iterable = iter(list(overfit_cache))
+            else:
+                train_iter = _limit(datamodule.train_dataloader(epoch=epoch),
+                                    self.limit_train_batches,
+                                    self.steps_per_epoch)
+
+            for batch in train_iter:
+                micro_batches.append(batch)
+                if len(micro_batches) < self.accumulate_grad_batches:
+                    continue
+                if self.accumulate_grad_batches > 1:
+                    device_batch = self._stack_accum(micro_batches)
+                else:
+                    device_batch = micro_batches[0]
+                micro_batches = []
+
+                step_rng, sub = jax.random.split(step_rng)
+                self.state, metrics = train_step(self.state, device_batch,
+                                                 sub)
+                global_step += 1
+                n_pairs += int(np.prod(
+                    jax.tree_util.tree_leaves(device_batch)[0].shape[:1]))
+
+                if global_step % self.log_every_n_steps == 0:
+                    host = {f"train/{k}": float(v)
+                            for k, v in metrics.items()}
+                    host["lr"] = get_learning_rate(self.state.opt_state)
+                    host["epoch"] = epoch
+                    self._log(host, global_step)
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(f"train/{k}", []).append(
+                        float(v))
+
+            # flush leftover micro-batches at epoch end (Lightning steps the
+            # optimizer on a partial accumulation window too)
+            if micro_batches:
+                leftover = len(micro_batches)
+                flush_step = get_step(leftover)
+                device_batch = (self._stack_accum(micro_batches)
+                                if leftover > 1 else micro_batches[0])
+                step_rng, sub = jax.random.split(step_rng)
+                self.state, metrics = flush_step(self.state, device_batch,
+                                                 sub)
+                global_step += 1
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(f"train/{k}", []).append(
+                        float(v))
+
+            # validation
+            agg = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+            if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                val = self.validate(datamodule, eval_step)
+                agg.update(val)
+            dt = time.time() - t_epoch
+            agg["epoch_time_s"] = dt
+            if dt > 0 and n_pairs:
+                agg["pairs_per_sec"] = n_pairs / dt
+            self.metrics_history.append(agg)
+            self._log(agg, global_step)
+            log.info(f"epoch {epoch}: " + ", ".join(
+                f"{k}={v:.4f}" for k, v in sorted(agg.items())
+                if isinstance(v, float)))
+
+            # plateau scheduler on val/loss (reference scheduler interval:
+            # epoch, monitor val/loss)
+            if self.scheduler is not None and "val/loss" in agg:
+                current = get_learning_rate(self.state.opt_state)
+                new_lr = self.scheduler.step(agg["val/loss"], current)
+                if new_lr != current:
+                    log.info(f"ReduceLROnPlateau: lr {current} -> {new_lr}")
+                    self.state = self.state.replace(opt_state=set_learning_rate(
+                        self.state.opt_state, new_lr))
+
+            for cb in self.callbacks:
+                cb.on_epoch_end(self, epoch, agg)
+                if cb.should_stop and epoch + 1 >= self.min_epochs:
+                    stop = True
+            if stop:
+                log.info("early stopping triggered")
+                break
+
+        if profile_dir:
+            jax.profiler.stop_trace()
+            log.info(f"profile written to {profile_dir}")
+
+        for cb in self.callbacks:
+            cb.on_train_end(self)
+            if getattr(cb, "best_path", None):
+                self.best_model_path = cb.best_path
+        for logger in self.loggers:
+            logger.finalize()
+
+    # ------------------------------------------------------------------
+    def validate(self, datamodule, eval_step=None) -> Dict[str, float]:
+        if eval_step is None:
+            eval_step = build_eval_step(self.module, mesh=self.mesh)
+        sums: Dict[str, List[float]] = {}
+        for batch in _limit(datamodule.val_dataloader(),
+                            self.limit_val_batches, None):
+            metrics = eval_step(self.state.params, batch)
+            for k, v in metrics.items():
+                sums.setdefault(f"val/{k}", []).append(float(v))
+        return {k: float(np.mean(v)) for k, v in sums.items()}
+
+    def test(self, module, datamodule,
+             ckpt_path: Optional[str] = None) -> Dict[str, float]:
+        self.module = module
+        if self.state is None:
+            init_batch = next(iter(datamodule.test_dataloader()))
+            params = jax.jit(module.init_params)(
+                jax.random.PRNGKey(self.seed), init_batch)
+            tx = module.make_optimizer()
+            self.state = TrainState.create(params, tx)
+        if ckpt_path:
+            self.state = restore_checkpoint(ckpt_path, self.state)
+        eval_step = build_eval_step(module, mesh=self.mesh)
+        sums: Dict[str, List[float]] = {}
+        for batch in _limit(datamodule.test_dataloader(),
+                            self.limit_test_batches, None):
+            metrics = eval_step(self.state.params, batch)
+            for k, v in metrics.items():
+                sums.setdefault(f"test/{k}", []).append(float(v))
+        out = {k: float(np.mean(v)) for k, v in sums.items()}
+        self._log(out, int(self.state.step))
+        return out

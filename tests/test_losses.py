@@ -81,6 +81,27 @@ class TestGloriaLocal:
         np.testing.assert_allclose(float(out.loss0 + out.loss1), expected,
                                    rtol=1e-4)
 
+    def test_text_chunking_identical(self):
+        """Chunked (lax.map + remat) path must match the fused path exactly,
+        for values AND gradients."""
+        rng = np.random.RandomState(5)
+        b, d, h, w, t = 8, 6, 3, 3, 7
+        img = jnp.asarray(rng.randn(b, d, h, w).astype(np.float32))
+        words = jnp.asarray(rng.randn(b, d, t).astype(np.float32))
+        cl = jnp.asarray(rng.randint(1, t + 1, size=b))
+
+        def total(i, wd, chunk):
+            o = L.gloria_local_loss(i, wd, cl, text_chunk=chunk)
+            return o.loss0 + o.loss1
+
+        full = total(img, words, None)
+        chunked = total(img, words, 2)
+        np.testing.assert_allclose(float(full), float(chunked), rtol=1e-5)
+        g_full = jax.grad(total)(img, words, None)
+        g_chunk = jax.grad(total)(img, words, 2)
+        np.testing.assert_allclose(np.asarray(g_full), np.asarray(g_chunk),
+                                   rtol=1e-4, atol=1e-6)
+
     def test_att_maps_shape(self):
         rng = np.random.RandomState(2)
         img = rng.randn(3, 4, 2, 2).astype(np.float32)

@@ -1,0 +1,165 @@
+"""End-to-end trainer/CLI tests on the CPU mesh with tiny model overrides."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY_OVERRIDES = [
+    "data=synthetic",
+    "data.batch_size=4",
+    "data.num_samples=16",
+    "data.image_size=56",
+    "data.num_classes=3",       # must match num_experts (router CE labels)
+    "model.model.vision.image_size=56",
+    "model.model.vision.swin_embed_dim=8",
+    "model.model.vision.swin_depths=[1,1]",
+    "model.model.vision.swin_num_heads=[1,2]",
+    "model.model.vision.num_experts=3",
+    "model.model.vision.embed_dim=16",
+    "model.model.vision.dtype=float32",
+    "model.model.vision.drop_path_rate=0.0",
+    "model.model.text.hidden_size=16",
+    "model.model.text.num_layers=2",
+    "model.model.text.num_heads=2",
+    "model.model.text.intermediate_size=32",
+    "model.model.text.vocab_size=64",
+    "model.model.text.embed_dim=16",
+    "model.model.text.max_length=10",
+    "model.model.text.dtype=float32",
+    "trainer.accelerator=cpu",
+    "trainer.devices=1",        # batch 4 won't split over the 8 fake devices
+    "trainer.num_sanity_val_steps=1",
+    "trainer.log_every_n_steps=1",
+]
+
+
+def _run_train(tmp_path, extra):
+    from medmoe_tpu.cli.train import main
+
+    overrides = ["experiment=pretraining_medmoe"] + TINY_OVERRIDES + [
+        f"paths.root_dir={tmp_path}"] + extra
+    return main(overrides)
+
+
+class TestTrainCLI:
+    def test_fdr_one_epoch(self, tmp_path):
+        metrics = _run_train(tmp_path, [
+            "debug=fdr", "trainer.accumulate_grad_batches=1"])
+        assert "train/loss" in metrics
+        assert np.isfinite(metrics["train/loss"])
+        assert "val/loss" in metrics
+
+    def test_overfit_reduces_loss(self, tmp_path):
+        from medmoe_tpu.cli.train import train
+        from medmoe_tpu.config import compose
+
+        overrides = (["experiment=pretraining_medmoe"] + TINY_OVERRIDES
+                     + [f"paths.root_dir={tmp_path}",
+                        "trainer.max_epochs=6", "trainer.overfit_batches=2",
+                        "trainer.accumulate_grad_batches=1",
+                        "trainer.num_sanity_val_steps=0",
+                        "trainer.check_val_every_n_epoch=100",
+                        "~callbacks.early_stopping"])
+        _, objs = train(compose("train", overrides))
+        history = objs["trainer"].metrics_history
+        assert len(history) == 6
+        # overfitting 2 fixed batches must monotonically-ish reduce loss
+        assert history[-1]["train/loss"] < history[0]["train/loss"]
+
+    def test_grad_accum_and_checkpoint(self, tmp_path):
+        metrics = _run_train(tmp_path, [
+            "trainer.max_epochs=1", "trainer.accumulate_grad_batches=2",
+            "trainer.limit_val_batches=1"])
+        ckpt_root = os.path.join(str(tmp_path), "logs", "train", "runs",
+                                 "checkpoints")
+        assert os.path.isdir(ckpt_root)
+        entries = os.listdir(ckpt_root)
+        assert "last" in entries
+        assert any(e.startswith("epoch_") for e in entries)
+
+    def test_resume_from_checkpoint(self, tmp_path):
+        _run_train(tmp_path, ["trainer.max_epochs=1",
+                              "trainer.accumulate_grad_batches=1",
+                              "trainer.limit_val_batches=1"])
+        ckpt = os.path.join(str(tmp_path), "logs", "train", "runs",
+                            "checkpoints", "last")
+        metrics = _run_train(tmp_path, [
+            "trainer.max_epochs=1", "trainer.accumulate_grad_batches=1",
+            "trainer.limit_val_batches=1", f"ckpt_path={ckpt}"])
+        assert np.isfinite(metrics["train/loss"])
+
+    def test_csv_logger_written(self, tmp_path):
+        _run_train(tmp_path, ["debug=fdr",
+                              "trainer.accumulate_grad_batches=1"])
+        # debug=fdr sets task_name=debug → logs/debug/runs
+        csv_dir = os.path.join(str(tmp_path), "logs", "debug", "runs", "csv")
+        assert os.path.exists(os.path.join(csv_dir, "metrics.csv"))
+        assert os.path.exists(os.path.join(csv_dir, "hparams.json"))
+
+
+class TestEvalZsCLI:
+    def test_zero_shot_synthetic(self, tmp_path):
+        from medmoe_tpu.cli.eval_zs import main
+
+        metrics = main([
+            "data=synthetic", "data.batch_size=4", "data.num_samples=8",
+            "data.image_size=56",
+            "model.model.vision.image_size=56",
+            "model.model.vision.swin_embed_dim=8",
+            "model.model.vision.swin_depths=[1,1]",
+            "model.model.vision.swin_num_heads=[1,2]",
+            "model.model.vision.num_experts=3",
+            "model.model.vision.embed_dim=16",
+            "model.model.vision.dtype=float32",
+            "model.model.text.hidden_size=16",
+            "model.model.text.num_layers=2",
+            "model.model.text.num_heads=2",
+            "model.model.text.intermediate_size=32",
+            "model.model.text.vocab_size=64",
+            "model.model.text.embed_dim=16",
+            "model.model.text.max_length=10",
+            "model.model.text.dtype=float32",
+            f"paths.root_dir={tmp_path}",
+            "+eval.class_names=[xray,mri,ct,ultrasound,pathology,fundus]",
+        ])
+        assert "zero_shot/accuracy" in metrics
+        assert 0.0 <= metrics["zero_shot/accuracy"] <= 1.0
+
+    def test_retrieval_synthetic(self, tmp_path):
+        from medmoe_tpu.cli.eval_zs import main
+
+        metrics = main([
+            "data=synthetic", "data.batch_size=4", "data.num_samples=8",
+            "data.image_size=56", "eval.protocol=retrieval",
+            "model.model.vision.image_size=56",
+            "model.model.vision.swin_embed_dim=8",
+            "model.model.vision.swin_depths=[1,1]",
+            "model.model.vision.swin_num_heads=[1,2]",
+            "model.model.vision.num_experts=3",
+            "model.model.vision.embed_dim=16",
+            "model.model.vision.dtype=float32",
+            "model.model.text.hidden_size=16",
+            "model.model.text.num_layers=2",
+            "model.model.text.num_heads=2",
+            "model.model.text.intermediate_size=32",
+            "model.model.text.vocab_size=64",
+            "model.model.text.embed_dim=16",
+            "model.model.text.max_length=10",
+            "model.model.text.dtype=float32",
+            f"paths.root_dir={tmp_path}",
+        ])
+        assert "retrieval/i2t_r@1" in metrics
+        assert metrics["retrieval/i2t_r@10"] == 1.0  # only 8 samples
+
+
+class TestGraftEntry:
+    def test_dryrun_multichip(self):
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from __graft_entry__ import dryrun_multichip
+
+        dryrun_multichip(8)
