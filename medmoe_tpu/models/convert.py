@@ -1,0 +1,224 @@
+"""Pretrained-weight conversion: HF/MedCLIP torch checkpoints → flax params.
+
+Covers the reference's initialization paths:
+  * HF ``microsoft/swin-tiny-patch4-window7-224`` → SwinBackbone
+    (reference swin.py:124-126);
+  * HF ``emilyalsentzer/Bio_ClinicalBERT`` → BertModel
+    (reference text_encoder.py:18-22);
+  * MedCLIP ``pytorch_model.bin`` with the reference's key remapping:
+    'vision_model.' → vision tower, 'text_model.' → text tower
+    (reference med_moe.py:40-62).
+
+Torch is used ONLY host-side to read the pickle; all arrays become numpy
+then jnp. Conversion is name-driven against OUR parameter tree layout
+(see swin.py / bert.py module names), with layout fixes:
+  * torch Linear [out, in] → flax kernel [in, out] (transpose);
+  * torch Conv2d [out, in, kh, kw] → flax [kh, kw, in, out];
+  * LayerNorm weight/bias → scale/bias.
+
+Everything is gated on the checkpoint file existing (this image has no
+network egress; random init otherwise — reference prints the same WARNING
+and continues, med_moe.py:48).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from medmoe_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
+def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    if hasattr(state, "state_dict"):
+        state = state.state_dict()
+    return {k: v.detach().cpu().numpy() for k, v in state.items()
+            if hasattr(v, "detach")}
+
+
+def _linear(sd, prefix):
+    out = {"kernel": sd[f"{prefix}.weight"].T}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _layernorm(sd, prefix):
+    return {"LayerNorm_0": {"scale": sd[f"{prefix}.weight"],
+                            "bias": sd[f"{prefix}.bias"]}}
+
+
+def convert_hf_swin(sd: Dict[str, np.ndarray],
+                    depths=(2, 2, 6, 2)) -> Dict[str, Any]:
+    """HF SwinModel state dict → SwinBackbone params tree."""
+    p: Dict[str, Any] = {}
+    pre = "swin." if any(k.startswith("swin.") for k in sd) else ""
+
+    emb = f"{pre}embeddings"
+    p["patch_embed"] = {
+        "proj": {"kernel": sd[f"{emb}.patch_embeddings.projection.weight"]
+                 .transpose(2, 3, 1, 0),
+                 "bias": sd[f"{emb}.patch_embeddings.projection.bias"]},
+        "norm": _layernorm(sd, f"{emb}.norm"),
+    }
+
+    for stage in range(len(depths)):
+        for blk in range(depths[stage]):
+            hf = f"{pre}encoder.layers.{stage}.blocks.{blk}"
+            att = f"{hf}.attention"
+            qkv_w = np.concatenate([
+                sd[f"{att}.self.query.weight"].T,
+                sd[f"{att}.self.key.weight"].T,
+                sd[f"{att}.self.value.weight"].T], axis=1)
+            qkv_b = np.concatenate([
+                sd[f"{att}.self.query.bias"],
+                sd[f"{att}.self.key.bias"],
+                sd[f"{att}.self.value.bias"]])
+            p[f"stage{stage}_block{blk}"] = {
+                "norm1": _layernorm(sd, f"{hf}.layernorm_before"),
+                "attn": {
+                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    "proj": _linear(sd, f"{att}.output.dense"),
+                    "relative_position_bias_table":
+                        sd[f"{att}.self.relative_position_bias_table"],
+                },
+                "norm2": _layernorm(sd, f"{hf}.layernorm_after"),
+                "mlp": {
+                    "fc1": _linear(sd, f"{hf}.intermediate.dense"),
+                    "fc2": _linear(sd, f"{hf}.output.dense"),
+                },
+            }
+        ds = f"{pre}encoder.layers.{stage}.downsample"
+        if f"{ds}.reduction.weight" in sd:
+            p[f"stage{stage}_downsample"] = {
+                "norm": _layernorm(sd, f"{ds}.norm"),
+                "reduction": {"kernel": sd[f"{ds}.reduction.weight"].T},
+            }
+
+    p["norm"] = _layernorm(sd, f"{pre}layernorm")
+    return p
+
+
+def convert_hf_bert(sd: Dict[str, np.ndarray],
+                    num_layers: int = 12) -> Dict[str, Any]:
+    """HF BertModel state dict → our BertModel params tree."""
+    pre = "bert." if any(k.startswith("bert.") for k in sd) else ""
+    e = f"{pre}embeddings"
+    p: Dict[str, Any] = {
+        "embeddings": {
+            "word_embeddings": {"embedding": sd[f"{e}.word_embeddings.weight"]},
+            "position_embeddings": {
+                "embedding": sd[f"{e}.position_embeddings.weight"]},
+            "token_type_embeddings": {
+                "embedding": sd[f"{e}.token_type_embeddings.weight"]},
+            "norm": _layernorm(sd, f"{e}.LayerNorm"),
+        },
+    }
+    for i in range(num_layers):
+        hf = f"{pre}encoder.layer.{i}"
+        p[f"layer_{i}"] = {
+            "attention": {
+                "query": _linear(sd, f"{hf}.attention.self.query"),
+                "key": _linear(sd, f"{hf}.attention.self.key"),
+                "value": _linear(sd, f"{hf}.attention.self.value"),
+            },
+            "attention_output": _linear(sd, f"{hf}.attention.output.dense"),
+            "attention_norm": _layernorm(sd, f"{hf}.attention.output.LayerNorm"),
+            "intermediate": _linear(sd, f"{hf}.intermediate.dense"),
+            "output": _linear(sd, f"{hf}.output.dense"),
+            "output_norm": _layernorm(sd, f"{hf}.output.LayerNorm"),
+        }
+    if f"{pre}pooler.dense.weight" in sd:
+        p["pooler"] = _linear(sd, f"{pre}pooler.dense")
+    return p
+
+
+def _merge_into(params: Dict[str, Any], new: Dict[str, Any],
+                path: str = "") -> int:
+    """Shape-checked in-place merge; returns #arrays loaded."""
+    count = 0
+    for k, v in new.items():
+        if k not in params:
+            log.warning(f"convert: {path}{k} not in model tree — skipped",
+                        rank=0)
+            continue
+        if isinstance(v, dict):
+            count += _merge_into(params[k], v, f"{path}{k}.")
+        else:
+            have = np.asarray(params[k])
+            if have.shape != v.shape:
+                log.warning(f"convert: shape mismatch at {path}{k}: "
+                            f"{have.shape} vs {v.shape} — skipped")
+                continue
+            params[k] = v.astype(have.dtype)
+            count += 1
+    return count
+
+
+def load_medclip_checkpoint(params: Dict[str, Any], checkpoint_path: str,
+                            depths=(2, 2, 6, 2), num_layers: int = 12
+                            ) -> Dict[str, Any]:
+    """Load a MedCLIP pytorch_model.bin into a full MedMoE params tree
+    (reference med_moe.py:40-62 key remapping: vision_model./text_model.).
+
+    Returns a NEW params tree; missing/unmatched keys keep their init
+    (strict=False semantics, like the reference)."""
+    import jax
+
+    if not (checkpoint_path and os.path.isfile(checkpoint_path)):
+        log.warning(f"WARNING: model weights not loaded from "
+                    f"{checkpoint_path!r} (file missing)")
+        return params
+    sd = _load_torch_state_dict(checkpoint_path)
+
+    vision_sd = {k[len("vision_model."):]: v for k, v in sd.items()
+                 if k.startswith("vision_model.")}
+    text_sd = {k[len("text_model."):]: v for k, v in sd.items()
+               if k.startswith("text_model.")}
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    n = 0
+    if vision_sd:
+        swin_params = (params.get("image_encoder", {}).get("swin_moe", {})
+                       .get("swin"))
+        if swin_params is not None:
+            n += _merge_into(swin_params, convert_hf_swin(vision_sd, depths))
+    if text_sd:
+        bert_params = params.get("text_encoder", {}).get("bert")
+        if bert_params is not None:
+            n += _merge_into(bert_params,
+                             convert_hf_bert(text_sd, num_layers))
+    log.info(f"loaded {n} arrays from {checkpoint_path}")
+    return params
+
+
+def load_hf_pretrained(params: Dict[str, Any],
+                       swin_path: Optional[str] = None,
+                       bert_path: Optional[str] = None,
+                       depths=(2, 2, 6, 2), num_layers: int = 12
+                       ) -> Dict[str, Any]:
+    """Load plain HF pytorch_model.bin files (Swin and/or BERT)."""
+    import jax
+
+    params = jax.tree_util.tree_map(np.asarray, params)
+    if swin_path and os.path.isfile(swin_path):
+        sd = _load_torch_state_dict(swin_path)
+        target = (params.get("image_encoder", {}).get("swin_moe", {})
+                  .get("swin"))
+        if target is not None:
+            n = _merge_into(target, convert_hf_swin(sd, depths))
+            log.info(f"loaded {n} swin arrays from {swin_path}")
+    if bert_path and os.path.isfile(bert_path):
+        sd = _load_torch_state_dict(bert_path)
+        target = params.get("text_encoder", {}).get("bert")
+        if target is not None:
+            n = _merge_into(target, convert_hf_bert(sd, num_layers))
+            log.info(f"loaded {n} bert arrays from {bert_path}")
+    return params

@@ -39,12 +39,17 @@ class Fp32LayerNorm(nn.Module):
         return y.astype(orig_dtype)
 
 
+def gelu_exact(x: jnp.ndarray) -> jnp.ndarray:
+    """erf-based GELU (HF 'gelu'; the tanh approximation diverges ~1e-3)."""
+    return nn.gelu(x, approximate=False)
+
+
 class Mlp(nn.Module):
     """Transformer FFN: Linear → activation → Linear."""
 
     hidden_dim: int
     out_dim: Optional[int] = None
-    activation: Callable = nn.gelu
+    activation: Callable = gelu_exact
     dtype: Dtype = jnp.bfloat16
 
     @nn.compact

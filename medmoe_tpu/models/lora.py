@@ -1,0 +1,189 @@
+"""LoRA adapters (reference src/models/components/lora_layers.py — the
+Microsoft LoRA reference implementation, 501 LoC of torch).
+
+Functional flax re-design: each adapted layer owns frozen base params plus
+low-rank ``lora_a``/``lora_b`` factors; the effective weight is
+``W + (B @ A) * (alpha / r)``. The torch version mutates weights on
+train()/eval() to merge/unmerge — in flax that statefulness becomes the pure
+``merge_lora(params)`` transform (returns a tree with factors folded in and
+removed), which is also the right deployment story on TPU (zero inference
+overhead).
+
+Freezing the base weights is the caller's job via optimizer masking /
+stop_gradient (see lora_param_mask) — matching ``mark_only_lora_as_trainable``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class LoRALinear(nn.Module):
+    """Dense with optional low-rank update (reference lora_layers.py:90-152)."""
+
+    features: int
+    r: int = 0
+    alpha: int = 1
+    dropout_rate: float = 0.0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True
+                 ) -> jnp.ndarray:
+        y = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype,
+                     param_dtype=jnp.float32, name="base")(x)
+        if self.r > 0:
+            in_dim = x.shape[-1]
+            a = self.param("lora_a", nn.initializers.he_uniform(),
+                           (in_dim, self.r), jnp.float32)
+            b = self.param("lora_b", nn.initializers.zeros,
+                           (self.r, self.features), jnp.float32)
+            h = x
+            if self.dropout_rate > 0:
+                h = nn.Dropout(self.dropout_rate)(h, deterministic=deterministic)
+            y = y + (h.astype(jnp.float32) @ a @ b) * (self.alpha / self.r)
+        return y
+
+
+class LoRAEmbedding(nn.Module):
+    """Embedding with low-rank update (reference lora_layers.py:32-87)."""
+
+    num_embeddings: int
+    features: int
+    r: int = 0
+    alpha: int = 1
+
+    @nn.compact
+    def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
+        table = nn.Embed(self.num_embeddings, self.features,
+                         param_dtype=jnp.float32, name="base")
+        y = table(ids)
+        if self.r > 0:
+            a = self.param("lora_a", nn.initializers.zeros,
+                           (self.num_embeddings, self.r), jnp.float32)
+            b = self.param("lora_b", nn.initializers.normal(1.0),
+                           (self.r, self.features), jnp.float32)
+            y = y + (jnp.take(a, ids, axis=0) @ b) * (self.alpha / self.r)
+        return y
+
+
+class LoRAConv(nn.Module):
+    """Conv2d with low-rank update on the flattened kernel
+    (reference ConvLoRA, lora_layers.py:246-309)."""
+
+    features: int
+    kernel_size: Tuple[int, int]
+    strides: Tuple[int, int] = (1, 1)
+    padding: Any = "SAME"
+    r: int = 0
+    alpha: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.he_normal(),
+                            (kh, kw, in_ch, self.features), jnp.float32)
+        if self.r > 0:
+            a = self.param("lora_a", nn.initializers.he_uniform(),
+                           (self.r, kh * kw * in_ch), jnp.float32)
+            b = self.param("lora_b", nn.initializers.zeros,
+                           (self.features, self.r), jnp.float32)
+            delta = (b @ a).T.reshape(kh, kw, in_ch, self.features)
+            kernel = kernel + delta * (self.alpha / self.r)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=self.strides, padding=self.padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros,
+                              (self.features,), jnp.float32)
+            y = y + bias
+        return y
+
+
+class LoRAMergedLinear(nn.Module):
+    """qkv-style fused projection with LoRA on a subset of the fused outputs
+    (reference MergedLinear, lora_layers.py:155-244): ``enable_lora`` flags
+    which equal-sized output blocks get adapters."""
+
+    features: int
+    enable_lora: Sequence[bool] = (True, False, True)
+    r: int = 0
+    alpha: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.Dense(self.features, use_bias=self.use_bias,
+                     param_dtype=jnp.float32, name="base")(x)
+        n_blocks = len(self.enable_lora)
+        if self.r > 0 and any(self.enable_lora):
+            block = self.features // n_blocks
+            in_dim = x.shape[-1]
+            n_on = sum(self.enable_lora)
+            a = self.param("lora_a", nn.initializers.he_uniform(),
+                           (in_dim, self.r * n_on), jnp.float32)
+            b = self.param("lora_b", nn.initializers.zeros,
+                           (self.r * n_on, block), jnp.float32)
+            deltas = []
+            on = 0
+            for enabled in self.enable_lora:
+                if enabled:
+                    a_i = a[:, on * self.r:(on + 1) * self.r]
+                    b_i = b[on * self.r:(on + 1) * self.r]
+                    deltas.append((x.astype(jnp.float32) @ a_i @ b_i)
+                                  * (self.alpha / self.r))
+                    on += 1
+                else:
+                    deltas.append(jnp.zeros(x.shape[:-1] + (block,),
+                                            jnp.float32))
+            y = y + jnp.concatenate(deltas, axis=-1)
+        return y
+
+
+# --------------------------------------------------------------------------
+# functional utilities (replace torch's stateful merge/freeze)
+# --------------------------------------------------------------------------
+
+def lora_param_mask(params: Any) -> Any:
+    """True for LoRA factors, False elsewhere — feed to optax.masked to train
+    only adapters (reference mark_only_lora_as_trainable)."""
+
+    def mask(path, leaf):
+        keys = [str(getattr(p, "key", p)) for p in path]
+        return any(k.startswith("lora_") for k in keys)
+
+    return jax.tree_util.tree_map_with_path(mask, params)
+
+
+def merge_lora(params: Dict[str, Any], alpha_over_r: Optional[float] = None
+               ) -> Dict[str, Any]:
+    """Fold lora_a/lora_b into the base kernels and drop the factors
+    (the functional analogue of the reference's eval-time merge)."""
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        node = {k: walk(v) for k, v in node.items()}
+        if "lora_a" in node and "lora_b" in node:
+            a, b = node.pop("lora_a"), node.pop("lora_b")
+            scale = alpha_over_r if alpha_over_r is not None else 1.0
+            if "base" in node and "kernel" in node["base"]:
+                node["base"] = dict(node["base"])
+                node["base"]["kernel"] = (node["base"]["kernel"]
+                                          + (a @ b) * scale)
+            elif "kernel" in node:       # LoRAConv
+                kh, kw, in_ch, out = node["kernel"].shape
+                delta = (b @ a).T.reshape(kh, kw, in_ch, out)
+                node["kernel"] = node["kernel"] + delta * scale
+        return node
+
+    return walk(dict(params))
