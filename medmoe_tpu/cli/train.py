@@ -38,6 +38,10 @@ def _apply_accelerator(cfg) -> None:
         jax.config.update("jax_platforms", "cpu")
 
 
+from medmoe_tpu.utils.task import extras, get_metric_value, task_wrapper
+
+
+@task_wrapper
 def train(cfg) -> Tuple[Dict[str, float], Dict]:
     """Mirrors reference src/train.py:42-108: instantiate everything from
     config, fit, optionally test with the best checkpoint."""
@@ -86,12 +90,16 @@ def train(cfg) -> Tuple[Dict[str, float], Dict]:
 def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = compose("train", overrides)
+    extras(cfg)
+    if cfg.get("hparams_search"):
+        from medmoe_tpu.train.sweep import run_sweep
+
+        return run_sweep(cfg, overrides)
     metrics, _ = train(cfg)
     # optimized-metric return for sweepers (reference src/train.py:126-128)
     metric_name = cfg.get("optimized_metric")
     if metric_name:
-        log.info(f"optimized metric {metric_name} = "
-                 f"{metrics.get(metric_name)}")
+        get_metric_value(metrics, metric_name)
     return metrics
 
 

@@ -88,11 +88,26 @@ class DotDict(dict):
         node[parts[-1]] = value
 
     def delete_dotted(self, dotted: str) -> None:
+        """Delete a dotted path. Tolerates literal keys that themselves
+        contain dots (e.g. hparams_search params like
+        'params.model.optimizer.lr' where 'model.optimizer.lr' is ONE key):
+        at each level the longest matching literal key wins."""
         parts = dotted.split(".")
         node: Any = self
-        for part in parts[:-1]:
-            node = node[part]
-        del node[parts[-1]]
+        i = 0
+        while i < len(parts):
+            # longest literal-key match from the remaining parts
+            for j in range(len(parts), i, -1):
+                candidate = ".".join(parts[i:j])
+                if isinstance(node, Mapping) and candidate in node:
+                    if j == len(parts):
+                        del node[candidate]
+                        return
+                    node = node[candidate]
+                    i = j
+                    break
+            else:
+                raise KeyError(dotted)
 
     def copy(self) -> "DotDict":
         return copy.deepcopy(self)

@@ -48,7 +48,9 @@ class MoEConfig:
     output_dim: int = 768
     router_input_dim: int = 768
     router_hidden_dim: int = 128
-    mode: str = "gather"            # gather | dense | ep
+    mode: str = "gather"            # gather | dense | ep | topk
+    top_k: int = 1
+    capacity_factor: float = 1.25
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -138,6 +140,60 @@ class ExpertBank(nn.Module):
         return jnp.einsum("bpse,bps->bpe", stacked, attn,
                           preferred_element_type=jnp.float32)  # [B, P, E] f32
 
+    # ---- topk mode: capacity dispatch + grouped matmuls ------------------
+    def apply_dispatched(self, pyramid: Sequence[jnp.ndarray],
+                         expert_idx: jnp.ndarray,
+                         capacity_factor: float) -> jnp.ndarray:
+        """Capacity-based sparse dispatch: gather each expert's samples into
+        a [K, C, ...] block, run ALL expert math as grouped (K-batched)
+        einsums on the MXU, scatter back. Compute scales with
+        B·capacity_factor instead of B·K. Capacity-overflow samples produce
+        zero output (token dropping — the standard MoE trade; parity mode is
+        'gather'). With the expert axis sharded this is the EP execution
+        form whose gathers/scatters XLA lowers to all-to-alls over ICI."""
+        cfg = self.config
+        dt = cfg.dtype
+        k = cfg.num_experts
+        b = expert_idx.shape[0]
+        p_max = max(f.shape[1] for f in pyramid)
+        capacity = max(1, int(np.ceil(b * capacity_factor / k)))
+        dispatch_idx, slot_valid, kept = make_dispatch(expert_idx, k,
+                                                       capacity)
+
+        scale_feats = []
+        for s, feats in enumerate(pyramid):
+            g = jnp.take(feats, dispatch_idx.reshape(-1), axis=0)
+            g = g.reshape(k, capacity, feats.shape[1], feats.shape[2])
+            h = jnp.einsum("kcpd,kde->kcpe", g.astype(dt),
+                           self.proj_w[s].astype(dt),
+                           preferred_element_type=jnp.float32)
+            h = jax.nn.relu(h + self.proj_b[s][:, None, None, :]).astype(dt)
+            interp = jnp.asarray(linear_interp_matrix(feats.shape[1], p_max),
+                                 dtype=dt)
+            h = jnp.einsum("kcpe,pq->kcqe", h, interp,
+                           preferred_element_type=jnp.float32).astype(dt)
+            scale_feats.append(h)
+
+        stacked = jnp.stack(scale_feats, axis=3)            # [K, C, P, S, E]
+        a = jnp.einsum("kcpse,keh->kcpsh", stacked, self.attn_w1.astype(dt),
+                       preferred_element_type=jnp.float32)
+        a = jax.nn.relu(a + self.attn_b1[:, None, None, None, :]).astype(dt)
+        logits = jnp.einsum("kcpsh,kho->kcpso", a, self.attn_w2.astype(dt),
+                            preferred_element_type=jnp.float32)
+        logits = (logits + self.attn_b2[:, None, None, None, :])[..., 0]
+        attn = jax.nn.softmax(logits, axis=-1).astype(dt)   # [K, C, P, S]
+        fused = jnp.einsum("kcpse,kcps->kcpe", stacked, attn,
+                           preferred_element_type=jnp.float32)  # [K,C,P,E]
+
+        # scatter back: invalid slots masked, dropped samples stay zero
+        fused = jnp.where(slot_valid[:, :, None, None], fused, 0.0)
+        flat = fused.reshape(k * capacity, p_max, cfg.output_dim)
+        out = jnp.zeros((b, p_max, cfg.output_dim), jnp.float32)
+        out = out.at[dispatch_idx.reshape(-1)].add(
+            jnp.where(slot_valid.reshape(-1)[:, None, None], flat, 0.0),
+            mode="drop")
+        return out
+
     # ---- dense / ep mode: all experts, one-hot combine ------------------
     def apply_dense(self, pyramid: Sequence[jnp.ndarray],
                     expert_idx: jnp.ndarray) -> jnp.ndarray:
@@ -178,6 +234,35 @@ class ExpertBank(nn.Module):
                           preferred_element_type=jnp.float32)
 
 
+def make_dispatch(expert_idx: jnp.ndarray, num_experts: int, capacity: int):
+    """Capacity-based top-1 dispatch plan (the classic MoE dispatch):
+
+    expert_idx [B] → (dispatch_idx [K, C] sample index per slot,
+                      slot_valid [K, C] bool,
+                      kept [B] bool — False for capacity-dropped samples).
+
+    Position-in-expert is the running count of earlier samples routed to the
+    same expert (exclusive cumsum over the one-hot matrix) — deterministic,
+    order-preserving, all static shapes.
+    """
+    b = expert_idx.shape[0]
+    onehot = jax.nn.one_hot(expert_idx, num_experts, dtype=jnp.int32)  # [B,K]
+    position = jnp.cumsum(onehot, axis=0) - onehot               # [B, K]
+    pos_in_expert = jnp.sum(position * onehot, axis=1)           # [B]
+    kept = pos_in_expert < capacity
+
+    # scatter sample index into its (expert, slot) cell; dropped samples get
+    # an out-of-bounds slot so mode="drop" discards the write
+    flat_slot = jnp.where(kept, expert_idx * capacity + pos_in_expert,
+                          num_experts * capacity)
+    dispatch = jnp.full((num_experts * capacity,), -1, jnp.int32)
+    dispatch = dispatch.at[flat_slot].set(jnp.arange(b, dtype=jnp.int32),
+                                          mode="drop")
+    dispatch_idx = dispatch.reshape(num_experts, capacity)
+    slot_valid = dispatch_idx >= 0
+    return jnp.maximum(dispatch_idx, 0), slot_valid, kept
+
+
 class MoE(nn.Module):
     """Router + expert bank. Returns (global_feat, local_feat, router_probs)
     exactly like the reference MoE.forward (swin.py:94-117):
@@ -208,6 +293,9 @@ class MoE(nn.Module):
             fused = bank.apply_gathered(pyramid, top_expert)
         elif cfg.mode in ("dense", "ep"):
             fused = bank.apply_dense(pyramid, top_expert)
+        elif cfg.mode == "topk":
+            fused = bank.apply_dispatched(pyramid, top_expert,
+                                          cfg.capacity_factor)
         else:
             raise ValueError(f"unknown moe mode {cfg.mode!r}")
 

@@ -52,6 +52,8 @@ class SwinMoEVisionTower(nn.Module):
                 output_dim=int(self.cfg.get("embed_dim", 768)),
                 router_input_dim=swin_cfg.stage_dims[-1],
                 mode=str(self.cfg.get("moe_mode", "gather")),
+                top_k=int(self.cfg.get("router_top_k", 1)),
+                capacity_factor=float(self.cfg.get("capacity_factor", 1.25)),
                 dtype=dtype,
             )
             return MoE(moe_cfg, name="moe")(pyramid, router_feat)

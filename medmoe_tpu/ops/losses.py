@@ -241,11 +241,25 @@ class HardNegativeContrastiveLoss:
 
 
 class GLORIALocalContrastiveLoss:
-    def __init__(self, text_chunk: Optional[int] = 8):
+    """impl='xla' (default): batched masked einsums with text-chunked remat;
+    impl='pallas': fused Pallas similarity kernel (medmoe_tpu/ops/pallas/
+    gloria_attention.py) — the [M,T] attention never leaves VMEM."""
+
+    def __init__(self, text_chunk: Optional[int] = 8, impl: str = "xla"):
         self.text_chunk = text_chunk
+        self.impl = impl
 
     def __call__(self, img_features, words_emb, cap_lens, temp1=4.0,
                  temp2=5.0, temp3=10.0, agg="sum", idx=None, probs=None):
+        if self.impl == "pallas":
+            from medmoe_tpu.ops.pallas.gloria_attention import \
+                gloria_similarity_pallas
+
+            similarities = gloria_similarity_pallas(
+                img_features, words_emb, cap_lens, temp1, temp2, temp3)
+            loss0 = _cross_entropy_diag(similarities)
+            loss1 = _cross_entropy_diag(similarities.T)
+            return GloriaLocalOutput(loss0=loss0, loss1=loss1)
         return gloria_local_loss(img_features, words_emb, cap_lens,
                                  temp1, temp2, temp3, agg,
                                  text_chunk=self.text_chunk)

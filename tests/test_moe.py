@@ -94,6 +94,61 @@ class TestModeEquivalence:
                 assert np.abs(proj_w0[k]).max() > 0, f"expert {k} no grad"
 
 
+class TestDispatch:
+    def test_make_dispatch_plan(self):
+        from medmoe_tpu.models.moe import make_dispatch
+
+        idx = jnp.asarray([0, 1, 0, 0, 2, 1])
+        dispatch, valid, kept = make_dispatch(idx, num_experts=3, capacity=2)
+        d = np.asarray(dispatch)
+        v = np.asarray(valid)
+        # expert 0 got samples 0, 2 (sample 3 dropped: capacity 2)
+        assert d[0].tolist() == [0, 2] and v[0].all()
+        assert d[1].tolist()[:2] == [1, 5] and v[1].all()
+        assert v[2].tolist() == [True, False]
+        assert np.asarray(kept).tolist() == [True, True, True, False, True,
+                                             True]
+
+    def test_topk_matches_gather_when_no_drop(self):
+        """With capacity ≥ B the dispatch path is exact parity."""
+        rng = np.random.RandomState(3)
+        pyr = _pyramid(rng, b=4)
+        router_feat = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+        cfg = MoEConfig(num_experts=3, hidden_dims=(4, 8), output_dim=8,
+                        router_input_dim=8, mode="gather",
+                        capacity_factor=3.0, dtype=jnp.float32)
+        moe = MoE(cfg)
+        variables = moe.init(jax.random.PRNGKey(0), pyr, router_feat)
+        out_g = moe.apply(variables, pyr, router_feat)
+        out_t = MoE(cfg.replace(mode="topk")).apply(variables, pyr,
+                                                    router_feat)
+        for a, b in zip(out_g, out_t):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+    def test_topk_drops_overflow(self):
+        """With capacity 1 per expert, overflow samples produce zero
+        output."""
+        from medmoe_tpu.models.moe import ExpertBank, make_dispatch
+
+        rng = np.random.RandomState(4)
+        cfg = MoEConfig(num_experts=2, hidden_dims=(4, 8), output_dim=8,
+                        router_input_dim=8, mode="topk", dtype=jnp.float32)
+        pyr = _pyramid(rng, b=4)
+        bank = ExpertBank(cfg)
+        idx = jnp.asarray([0, 0, 0, 1])      # 3 samples → expert 0
+        variables = bank.init(jax.random.PRNGKey(0), pyr, idx,
+                              method=ExpertBank.apply_dispatched,
+                              capacity_factor=0.5)   # capacity 1
+        out = bank.apply(variables, pyr, idx, capacity_factor=0.5,
+                         method=ExpertBank.apply_dispatched)
+        out = np.asarray(out)
+        assert np.abs(out[0]).max() > 0        # first to expert 0: kept
+        assert np.allclose(out[1], 0.0)        # overflow: dropped
+        assert np.allclose(out[2], 0.0)
+        assert np.abs(out[3]).max() > 0        # expert 1: kept
+
+
 class TestShapes:
     def test_output_shapes(self):
         rng = np.random.RandomState(0)
