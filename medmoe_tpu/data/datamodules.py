@@ -178,7 +178,7 @@ class UnimedDataModule(BaseDataModule):
                  test_data_paths: str = "", data_dir: str = "",
                  resampled: bool = True, shuffle_buffer: int = 5000,
                  weights: Optional[str] = None, pin_memory: bool = False,
-                 **kw):
+                 use_native: bool = False, **kw):
         super().__init__(**kw)
         self.train_data_paths = train_data_paths
         self.val_data_paths = val_data_paths
@@ -186,6 +186,11 @@ class UnimedDataModule(BaseDataModule):
         self.resampled = resampled
         self.shuffle_buffer = shuffle_buffer
         self.weights = weights
+        # native C++ fused decode→resize→normalize (native/medmoe_native.cpp)
+        # — a throughput option; the PIL path stays default for bit-parity
+        # with PIL-trained eval stats (PIL downscale antialiases, the native
+        # path is classic bilinear like torch antialias=False)
+        self.use_native = use_native
 
     def _corpus_fallback(self):
         return SyntheticDataModule.CAPTIONS
@@ -206,6 +211,11 @@ class UnimedDataModule(BaseDataModule):
                        train: bool) -> Iterator:
         transform = ImageTransform(self.image_size, train=train,
                                    seed=self.seed + epoch)
+        native_lib = None
+        if self.use_native:
+            from medmoe_tpu.data import native as native_mod
+
+            native_lib = native_mod if native_mod.available() else None
         rng = random.Random(self.seed * 1_000_003 + epoch)
         for sample in reader.samples(epoch):
             img_bytes = sample.get("jpg") or sample.get("png") \
@@ -214,7 +224,11 @@ class UnimedDataModule(BaseDataModule):
             if img_bytes is None or txt is None:
                 continue
             try:
-                img = transform(decode_image(img_bytes))
+                if native_lib is not None:
+                    img = native_lib.decode_resize_normalize(
+                        bytes(img_bytes), self.image_size)
+                else:
+                    img = transform(decode_image(img_bytes))
             except Exception:
                 continue          # nothrow (reference log_and_continue)
             caption = sample_caption(txt.decode("utf-8", "replace"), rng)

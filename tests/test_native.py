@@ -1,0 +1,106 @@
+"""Native C++ data-loader tests (skipped if the library isn't built)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from medmoe_tpu.data import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def _jpeg(shape=(120, 90, 3), seed=0, quality=95) -> bytes:
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    buf = io.BytesIO()
+    Image.fromarray((rng.rand(*shape) * 255).astype(np.uint8)).save(
+        buf, format="JPEG", quality=quality)
+    return buf.getvalue()
+
+
+class TestNativeDecode:
+    def test_close_to_pil_path(self):
+        from PIL import Image
+
+        from medmoe_tpu.data.transforms import normalize, resize_bilinear
+
+        # smooth image: PIL's antialiased downscale and classic bilinear
+        # agree closely on low-frequency content (noise images would not)
+        yy, xx = np.mgrid[0:120, 0:90]
+        smooth = np.stack([yy * 2, xx * 2, (yy + xx)], -1).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(smooth).save(buf, format="JPEG", quality=95)
+        jpeg = buf.getvalue()
+        out = native.decode_resize_normalize(jpeg, 64)
+        ref = normalize(resize_bilinear(
+            np.asarray(Image.open(io.BytesIO(jpeg)).convert("RGB")), 64))
+        assert out.shape == (64, 64, 3)
+        assert np.abs(out - ref).mean() < 0.05
+        assert np.corrcoef(out.ravel(), ref.ravel())[0, 1] > 0.995
+
+    def test_batch_matches_single(self):
+        jpegs = [_jpeg(seed=s) for s in range(5)]
+        batch, ok = native.decode_batch(jpegs, 32)
+        assert ok.all()
+        for i, j in enumerate(jpegs):
+            single = native.decode_resize_normalize(j, 32)
+            np.testing.assert_allclose(batch[i], single, rtol=1e-6)
+
+    def test_corrupt_input_flagged(self):
+        with pytest.raises(ValueError):
+            native.decode_resize_normalize(b"garbage bytes", 32)
+        batch, ok = native.decode_batch([_jpeg(), b"garbage"], 32)
+        assert ok.tolist() == [True, False]
+
+    def test_tar_index_roundtrip(self, tmp_path):
+        from medmoe_tpu.data.shard_writer import ShardWriter
+
+        jpeg = _jpeg()
+        path = str(tmp_path / "s-000000.tar")
+        with ShardWriter(path) as w:
+            for i in range(3):
+                w.write({"__key__": f"k{i}", "jpg": jpeg,
+                         "txt": f"caption {i}"})
+        index = native.tar_index(path)
+        names = [n for n, _, _ in index]
+        assert names == ["k0.jpg", "k0.txt", "k1.jpg", "k1.txt",
+                         "k2.jpg", "k2.txt"]
+        # payload offsets must actually point at the member bytes
+        name, offset, size = index[1]
+        with open(path, "rb") as f:
+            f.seek(offset)
+            assert f.read(size) == b"caption 0"
+
+    def test_unimed_native_path(self, tmp_path):
+        from medmoe_tpu.data.datamodules import UnimedDataModule
+
+        with ShardWriterHelper(tmp_path) as pattern:
+            dm = UnimedDataModule(
+                train_data_paths=pattern, val_data_paths=pattern,
+                batch_size=2, image_size=32, max_length=8, resampled=False,
+                shuffle_buffer=0, use_native=True)
+            batch = next(iter(dm.train_dataloader(0)))
+            assert batch["image"].shape == (2, 32, 32, 3)
+            assert np.isfinite(batch["image"]).all()
+
+
+class ShardWriterHelper:
+    def __init__(self, tmp_path):
+        self.tmp_path = tmp_path
+
+    def __enter__(self) -> str:
+        from medmoe_tpu.data.shard_writer import ShardWriter
+
+        pattern = str(self.tmp_path / "n-%06d.tar")
+        with ShardWriter(pattern) as w:
+            for i in range(4):
+                w.write({"__key__": f"{i}", "jpg": _jpeg(seed=i),
+                         "txt": f"some caption {i}", "cls": i % 2})
+        return str(self.tmp_path / "n-000000.tar")
+
+    def __exit__(self, *a):
+        pass
