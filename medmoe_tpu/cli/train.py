@@ -55,8 +55,12 @@ def train(cfg) -> Tuple[Dict[str, float], Dict]:
     module = instantiate(cfg.model)
 
     # the embedding table must cover the actual tokenizer vocabulary (a
-    # corpus-built test vocab can exceed the configured size)
-    tokenizer = getattr(datamodule, "tokenizer", None)
+    # corpus-built test vocab can exceed the configured size); image-only
+    # tasks (classification) have no tokenizer
+    try:
+        tokenizer = getattr(datamodule, "tokenizer", None)
+    except FileNotFoundError:
+        tokenizer = None
     if tokenizer is not None:
         module.text_cfg["vocab_size"] = max(
             int(module.text_cfg.get("vocab_size", 0)), tokenizer.vocab_size)

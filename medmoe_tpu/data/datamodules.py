@@ -272,6 +272,10 @@ class CheXpertDataModule(BaseDataModule):
         self.sample_n = sample_n
         self.img_type = img_type
 
+    def _corpus_fallback(self):
+        # zero-shot prompts over the task names (scripts/label protocol)
+        return [f"this is a photo of {t}" for t in self.TASKS]
+
     def _read_csv(self, name: str) -> List[Dict[str, str]]:
         path = os.path.join(self.data_dir, name)
         with open(path, newline="") as f:

@@ -99,8 +99,15 @@ class MedMoEPretrainingModule:
         from medmoe_tpu.models.bert import BertModel, BertConfig
 
         bert_params = params["text_encoder"]["bert"]
-        dtype = jnp.dtype(self.text_cfg.get("dtype", "bfloat16"))
-        last, _, _ = BertModel(BertConfig(dtype=dtype)).apply(
+        cfg = self.text_cfg
+        bert_cfg = BertConfig(
+            vocab_size=int(cfg.get("vocab_size", 28996)),
+            hidden_size=int(cfg.get("hidden_size", 768)),
+            num_layers=int(cfg.get("num_layers", 12)),
+            num_heads=int(cfg.get("num_heads", 12)),
+            intermediate_size=int(cfg.get("intermediate_size", 3072)),
+            dtype=jnp.dtype(cfg.get("dtype", "bfloat16")))
+        last, _, _ = BertModel(bert_cfg).apply(
             {"params": jax.lax.stop_gradient(bert_params)},
             batch["input_ids"], batch["attention_mask"],
             batch["token_type_ids"])

@@ -56,9 +56,12 @@ def build_train_step(module, mesh: Optional[Mesh] = None,
 
             zero_grads = jax.tree_util.tree_map(
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
-            zero_metrics = {k: jnp.zeros((), jnp.float32)
-                            for k in ("loss", "l_loss", "g_loss", "c_loss",
-                                      "c_acc")}
+            first_micro = jax.tree_util.tree_map(lambda x: x[0], batch)
+            metrics_shape = jax.eval_shape(
+                lambda p, b, r: grad_fn(p, b, r)[1],
+                state.params, first_micro, rngs[0])
+            zero_metrics = jax.tree_util.tree_map(
+                lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
             (grads, metrics), _ = jax.lax.scan(
                 scan_body, (zero_grads, zero_metrics), (batch, rngs))
             inv = 1.0 / accum_steps
