@@ -32,53 +32,44 @@ NEG_INF = -1e30
 
 
 def _sim_kernel(cap_ref, ctx_ref, words_ref, out_ref, *, temp1: float,
-                temp2: float, temp3: float, text_chunk: int):
+                temp2: float, temp3: float, num_texts: int, t: int):
+    # All ops stay strictly 2D — Mosaic cannot shape-cast across the
+    # (sublane, lane) boundary, so the per-text loop is unrolled and each
+    # text's words are a 2D lane-slice of the flattened [D, B·T] buffer.
     ctx = ctx_ref[0]                          # [D, M] bf16
-    d, m = ctx.shape
-    bt, _, t = words_ref.shape
 
-    for c in range(bt // text_chunk):
-        w_c = words_ref[pl.ds(c * text_chunk, text_chunk)]   # [Tc, D, T]
-        w_flat = w_c.transpose(1, 0, 2).reshape(d, text_chunk * t)
+    sims = []
+    for i in range(num_texts):
+        w_i = words_ref[0, :, pl.ds(i * t, t)]               # [D, T]
+        cap = cap_ref[i]
 
-        scores = jax.lax.dot_general(                         # [M, Tc*T]
-            ctx, w_flat, dimension_numbers=(((0,), (0,)), ((), ())),
+        scores = jax.lax.dot_general(                         # [M, T]
+            ctx, w_i, dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        scores = scores.reshape(m, text_chunk, t)
 
-        caps = jnp.stack([cap_ref[c * text_chunk + j]
-                          for j in range(text_chunk)])        # [Tc]
-        t_ids = jax.lax.broadcasted_iota(jnp.int32,
-                                         (m, text_chunk, t), 2)
-        valid = t_ids < caps[None, :, None]
+        t_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        valid = t_ids < cap
         scores = jnp.where(valid, scores, NEG_INF)
 
-        a1 = jax.nn.softmax(scores, axis=2)                   # over words
+        a1 = jax.nn.softmax(scores, axis=1)                   # over words
         a2 = jax.nn.softmax(a1 * temp1, axis=0)               # over regions
 
-        wei = jax.lax.dot_general(                            # [D, Tc*T]
-            ctx.astype(jnp.float32),
-            a2.reshape(m, text_chunk * t),
+        wei = jax.lax.dot_general(                            # [D, T]
+            ctx.astype(jnp.float32), a2,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        wei = wei.reshape(d, text_chunk, t)
 
-        w32 = w_c.transpose(1, 0, 2).astype(jnp.float32)      # [D, Tc, T]
-        num = jnp.sum(w32 * wei, axis=0)                      # [Tc, T]
+        w32 = w_i.astype(jnp.float32)
+        num = jnp.sum(w32 * wei, axis=0)                      # [T]
         den = jnp.sqrt(jnp.sum(w32 * w32, axis=0)) * jnp.sqrt(
             jnp.sum(wei * wei, axis=0))
         cos = num / jnp.maximum(den, 1e-8)
 
-        row = jnp.where(valid[0], jnp.exp(cos * temp2), 0.0)  # [Tc, T]
-        sim = jnp.log(jnp.sum(row, axis=1)) * temp3           # [Tc]
-        out_ref[0, 0, pl.ds(c * text_chunk, text_chunk)] = sim
+        row = jnp.where(valid[0], jnp.exp(cos * temp2), 0.0)  # [T]
+        sims.append(jnp.log(jnp.sum(row)) * temp3)
 
-
-def _pick_chunk(b: int) -> int:
-    for c in (8, 4, 2, 1):
-        if b % c == 0:
-            return c
-    return 1
+    # scalars can't be stored to VMEM individually — emit the whole row once
+    out_ref[0] = jnp.stack(sims)[None, :]
 
 
 def _sim_forward(img_features: jnp.ndarray, words_emb: jnp.ndarray,
@@ -88,18 +79,19 @@ def _sim_forward(img_features: jnp.ndarray, words_emb: jnp.ndarray,
     m = h * w
     t = words_emb.shape[-1]
     ctx = img_features.reshape(b, d, m).astype(jnp.bfloat16)
-    words = words_emb.astype(jnp.bfloat16)
-    chunk = _pick_chunk(b)
+    # flatten texts along lanes: [1, D, B*T], text i at lanes [i*T, (i+1)*T)
+    words = words_emb.astype(jnp.bfloat16).transpose(1, 0, 2) \
+        .reshape(1, d, b * t)
 
     kernel = functools.partial(_sim_kernel, temp1=temp1, temp2=temp2,
-                               temp3=temp3, text_chunk=chunk)
+                               temp3=temp3, num_texts=b, t=t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(b,),                            # one cell per image
         in_specs=[
             pl.BlockSpec((1, d, m), lambda bi, cap: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, d, t), lambda bi, cap: (0, 0, 0),
+            pl.BlockSpec((1, d, b * t), lambda bi, cap: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, b), lambda bi, cap: (bi, 0, 0),
@@ -110,7 +102,7 @@ def _sim_forward(img_features: jnp.ndarray, words_emb: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, 1, b), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * b * m * t * d,
             bytes_accessed=b * d * m * 2 + b * d * t * 2 + b * b * 4,
