@@ -63,13 +63,17 @@ class BaseDataModule:
 
     def __init__(self, batch_size: int = 32, num_workers: int = 0,
                  image_size: int = 224, max_length: int = 25,
-                 vocab_path: Optional[str] = None, seed: int = 0, **_ignored):
+                 vocab_path: Optional[str] = None, seed: int = 0,
+                 emit_uint8: bool = False, **_ignored):
         self.batch_size = batch_size
         self.num_workers = num_workers
         self.image_size = image_size
         self.max_length = max_length
         self.vocab_path = vocab_path
         self.seed = seed
+        # ship uint8 images; the model normalizes on device (4× less
+        # host→device traffic — see MedMoE._maybe_normalize)
+        self.emit_uint8 = emit_uint8
         self._tokenizer: Optional[WordPieceTokenizer] = None
         self.steps_per_epoch: Optional[int] = None
 
@@ -91,8 +95,10 @@ class BaseDataModule:
     def _collate(self, images: List[np.ndarray], captions: List[str],
                  labels: List[int]) -> Dict[str, np.ndarray]:
         enc = self.tokenizer.encode_batch(captions, max_length=self.max_length)
+        stacked = np.stack(images)
         return {
-            "image": np.stack(images).astype(np.float32),
+            "image": stacked if stacked.dtype == np.uint8
+            else stacked.astype(np.float32),
             "input_ids": enc["input_ids"],
             "attention_mask": enc["attention_mask"],
             "token_type_ids": enc["token_type_ids"],
@@ -210,9 +216,12 @@ class UnimedDataModule(BaseDataModule):
     def _decode_stream(self, reader: WebDatasetReader, epoch: int,
                        train: bool) -> Iterator:
         transform = ImageTransform(self.image_size, train=train,
-                                   seed=self.seed + epoch)
+                                   seed=self.seed + epoch,
+                                   normalize_output=not self.emit_uint8)
         native_lib = None
-        if self.use_native:
+        if self.use_native and not self.emit_uint8:
+            # native path emits normalized f32; uint8 shipping uses the
+            # python resize + on-device normalize instead
             from medmoe_tpu.data import native as native_mod
 
             native_lib = native_mod if native_mod.available() else None
@@ -341,6 +350,51 @@ class CheXpertDataModule(BaseDataModule):
     @property
     def num_classes(self) -> int:
         return len(self.COMPETITION_TASKS)
+
+
+class CsvDataModule(BaseDataModule):
+    """Generic CSV image-caption dataset (reference CsvDataset /
+    get_csv_dataset, src/data/data_utils.py:46-62, 493-518): columns for
+    image path, caption, and optional class label, custom separator."""
+
+    def __init__(self, data_dir: str = "", csv_path: str = "", sep: str = ",",
+                 img_key: str = "filepath", caption_key: str = "title",
+                 label_key: str = "cls", pin_memory: bool = False, **kw):
+        super().__init__(**kw)
+        self.data_dir = data_dir
+        self.csv_path = csv_path
+        self.sep = sep
+        self.img_key = img_key
+        self.caption_key = caption_key
+        self.label_key = label_key
+
+    def _corpus_fallback(self):
+        return SyntheticDataModule.CAPTIONS
+
+    def _rows(self) -> List[Dict[str, str]]:
+        with open(self.csv_path, newline="") as f:
+            return list(csv.DictReader(f, delimiter=self.sep))
+
+    def _iter(self, train: bool) -> Iterator:
+        transform = ImageTransform(self.image_size, train=train,
+                                   seed=self.seed,
+                                   normalize_output=not self.emit_uint8)
+        for row in self._rows():
+            path = row.get(self.img_key, "")
+            if self.data_dir and not os.path.isabs(path):
+                path = os.path.join(self.data_dir, path)
+            try:
+                img = transform(decode_image(open(path, "rb").read()))
+            except Exception:
+                continue
+            label = int(float(row.get(self.label_key, 0) or 0))
+            yield img, row.get(self.caption_key, ""), label
+
+    def train_dataloader(self, epoch: int = 0) -> Iterator:
+        return prefetched(self._batched(self._iter(True)))
+
+    def val_dataloader(self) -> Iterator:
+        return prefetched(self._batched(self._iter(False), drop_last=False))
 
 
 class PmcoaDataModule(BaseDataModule):

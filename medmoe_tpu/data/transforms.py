@@ -70,9 +70,14 @@ class ImageTransform:
                  random_crop: bool = False, crop_size: Optional[int] = None,
                  random_horizontal_flip: bool = False,
                  pad_to_square: bool = False,
-                 train: bool = False, seed: int = 0):
+                 train: bool = False, seed: int = 0,
+                 normalize_output: bool = True):
         self.image_size = image_size
         self.norm = norm
+        # normalize_output=False emits resized uint8 — pair with the model's
+        # on-device normalization (MedMoE._maybe_normalize) to ship 4× fewer
+        # bytes to the accelerator
+        self.normalize_output = normalize_output
         self.random_crop = random_crop and train
         self.crop_size = crop_size or image_size
         self.random_flip = random_horizontal_flip and train
@@ -93,4 +98,6 @@ class ImageTransform:
                 img = resize_bilinear(img, self.image_size)
         if self.random_flip and self.rng.rand() < 0.5:
             img = img[:, ::-1]
+        if not self.normalize_output:
+            return np.ascontiguousarray(img)
         return normalize(img, self.norm)

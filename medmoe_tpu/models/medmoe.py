@@ -28,6 +28,13 @@ from medmoe_tpu.models.layers import l2_normalize
 from medmoe_tpu.models.text_encoder import BertTextEncoder
 from medmoe_tpu.models.vision_encoder import ImageEncoder
 
+# normalization stats mirrored from the host transforms
+# (medmoe_tpu/data/transforms.py NORM_STATS)
+_DEVICE_NORM = {
+    "imagenet": ((0.485, 0.456, 0.406), (0.229, 0.224, 0.225)),
+    "half": ((0.5, 0.5, 0.5), (0.5, 0.5, 0.5)),
+}
+
 
 class MedMoE(nn.Module):
     vision: Any                       # `vision` config node
@@ -37,8 +44,19 @@ class MedMoE(nn.Module):
         self.image_encoder = ImageEncoder(self.vision)
         self.text_encoder = BertTextEncoder(self.text)
 
+    def _maybe_normalize(self, images: jnp.ndarray) -> jnp.ndarray:
+        """uint8 batches are normalized ON DEVICE: the host ships 4× fewer
+        bytes and XLA fuses the rescale into the patch-embed convolution.
+        float batches are assumed host-normalized (parity default)."""
+        if images.dtype != jnp.uint8:
+            return images
+        mean, std = _DEVICE_NORM[self.vision.get("norm_stats", "imagenet")]
+        x = images.astype(jnp.float32) / 255.0
+        return (x - jnp.asarray(mean)) / jnp.asarray(std)
+
     def encode_image(self, images: jnp.ndarray, deterministic: bool = True):
-        return self.image_encoder(images, deterministic=deterministic)
+        return self.image_encoder(self._maybe_normalize(images),
+                                  deterministic=deterministic)
 
     def encode_text(self, input_ids, attention_mask, token_type_ids,
                     segment_ids):

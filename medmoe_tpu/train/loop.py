@@ -144,6 +144,10 @@ class Trainer:
         train_step = get_step(self.accumulate_grad_batches)
         eval_step = build_eval_step(module, mesh=self.mesh)
 
+        from medmoe_tpu.train.state import param_count
+
+        self._log({"model/params_M": param_count(self.state.params) / 1e6},
+                  int(self.state.step))
         for cb in self.callbacks:
             cb.on_train_start(self)
 

@@ -127,6 +127,77 @@ class TensorBoardLogger(BaseLogger):
             self._writer.close()
 
 
+class ExternalLogger(BaseLogger):
+    """Generic third-party backend wrapper (comet / mlflow / neptune / aim —
+    the reference's remaining logger configs). Each degrades to a JSONL file
+    when its SDK is absent (none ship in this image)."""
+
+    def __init__(self, backend: str, save_dir: str, **kwargs):
+        self.backend = backend
+        self._fallback = JSONLLogger(save_dir, f"{backend}_fallback.jsonl")
+        self._impl = None
+        if not _is_main_process():
+            return
+        try:
+            if backend == "mlflow":
+                import mlflow
+
+                mlflow.set_tracking_uri(kwargs.get("tracking_uri",
+                                                   f"file:{save_dir}/mlruns"))
+                mlflow.start_run(run_name=kwargs.get("run_name"))
+                self._impl = mlflow
+            elif backend == "comet":
+                import comet_ml
+
+                self._impl = comet_ml.Experiment(**kwargs)
+            elif backend == "neptune":
+                import neptune
+
+                self._impl = neptune.init_run(**kwargs)
+            elif backend == "aim":
+                import aim
+
+                self._impl = aim.Run(repo=save_dir)
+        except Exception:
+            self._impl = None
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        if self._impl is None:
+            self._fallback.log_metrics(metrics, step)
+            return
+        try:
+            if self.backend == "mlflow":
+                self._impl.log_metrics(
+                    {k.replace("/", "_"): float(v)
+                     for k, v in metrics.items()}, step=step)
+            elif self.backend == "comet":
+                self._impl.log_metrics(metrics, step=step)
+            elif self.backend == "neptune":
+                for k, v in metrics.items():
+                    self._impl[k].append(float(v), step=step)
+            elif self.backend == "aim":
+                for k, v in metrics.items():
+                    self._impl.track(float(v), name=k, step=step)
+        except Exception:
+            self._fallback.log_metrics(metrics, step)
+
+
+def CometLogger(save_dir: str, **kw):  # noqa: N802 — config-surface names
+    return ExternalLogger("comet", save_dir, **kw)
+
+
+def MLFlowLogger(save_dir: str, **kw):  # noqa: N802
+    return ExternalLogger("mlflow", save_dir, **kw)
+
+
+def NeptuneLogger(save_dir: str, **kw):  # noqa: N802
+    return ExternalLogger("neptune", save_dir, **kw)
+
+
+def AimLogger(save_dir: str, **kw):  # noqa: N802
+    return ExternalLogger("aim", save_dir, **kw)
+
+
 class WandbLogger(BaseLogger):
     """Weights & Biases backend; degrades to a JSONL file if wandb is absent
     or offline (this image has no network egress)."""

@@ -80,6 +80,30 @@ def test_eval_zs_config():
     assert cfg.eval.prompt_template == "this is a photo of {}"
 
 
+def test_baseline_experiments_compose():
+    """The BASELINE.json config surface: every experiment must compose."""
+    zs = compose("train", ["experiment=zero_shot_dense"])
+    assert zs.model.model.vision.use_moe is False
+    assert zs.model.loss.classifier_loss_weight == 0.0
+
+    moe = compose("train", ["experiment=moe_single_modality"])
+    assert moe.model.model.vision.num_experts == 4
+    assert moe.model.model.vision.moe_mode == "topk"
+    assert moe.model.model.vision.router_top_k == 2
+
+    ep = compose("train", ["experiment=ep_full_mix"])
+    assert ep.trainer.mesh.expert == 2
+    assert ep.model.model.vision.moe_mode == "ep"
+
+
+def test_logger_backends_compose():
+    for backend in ("csv", "tensorboard", "wandb", "comet", "mlflow",
+                    "neptune", "aim", "many_loggers"):
+        cfg = compose("train", ["experiment=pretraining_medmoe",
+                                f"logger={backend}"])
+        assert cfg.logger is not None
+
+
 def test_dotdict_basic():
     d = DotDict({"a": {"b": [1, {"c": 2}]}})
     assert d.a.b[1].c == 2

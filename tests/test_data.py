@@ -190,3 +190,75 @@ class TestDataModules:
         # labels must be the cls field
         all_labels = np.concatenate([b["label"] for b in batches])
         assert set(all_labels.tolist()) <= set(range(6))
+
+
+class TestMasking:
+    def test_beit_block_masking(self):
+        from medmoe_tpu.data.masking import ImageMaskingGenerator
+
+        gen = ImageMaskingGenerator(14, num_masking_patches=75, seed=0)
+        mask = gen()
+        assert mask.shape == (14, 14)
+        assert 0 < mask.sum() <= 75 + 16     # blocks may overshoot slightly
+        gen2 = ImageMaskingGenerator(14, num_masking_patches=75, seed=0)
+        np.testing.assert_array_equal(mask, gen2())   # seeded determinism
+
+
+class TestCsvDataModule:
+    def test_csv_pairs(self, tmp_path):
+        import csv as csvmod
+
+        from medmoe_tpu.data.datamodules import CsvDataModule
+        from PIL import Image
+
+        rng = np.random.RandomState(0)
+        rows = []
+        for i in range(6):
+            rel = f"im{i}.jpg"
+            Image.fromarray((rng.rand(20, 20, 3) * 255).astype(np.uint8)
+                            ).save(str(tmp_path / rel))
+            rows.append({"filepath": rel, "title": f"caption {i}",
+                         "cls": i % 2})
+        with open(tmp_path / "data.csv", "w", newline="") as f:
+            w = csvmod.DictWriter(f, fieldnames=["filepath", "title", "cls"])
+            w.writeheader()
+            [w.writerow(r) for r in rows]
+        dm = CsvDataModule(data_dir=str(tmp_path),
+                           csv_path=str(tmp_path / "data.csv"),
+                           batch_size=3, image_size=16, max_length=8)
+        batch = next(iter(dm.train_dataloader(0)))
+        assert batch["image"].shape == (3, 16, 16, 3)
+        assert batch["label"].tolist() == [0, 1, 0]
+
+
+class TestUint8Shipping:
+    def test_synthetic_emits_float_but_uint8_via_transform(self):
+        from medmoe_tpu.data.transforms import ImageTransform
+
+        t = ImageTransform(16, normalize_output=False)
+        img = (np.random.RandomState(0).rand(32, 24, 3) * 255).astype(
+            np.uint8)
+        out = t(img)
+        assert out.dtype == np.uint8
+        assert out.shape == (16, 16, 3)
+
+    def test_device_normalize_matches_host(self):
+        import jax
+        import jax.numpy as jnp
+
+        from medmoe_tpu.config import DotDict
+        from medmoe_tpu.data.transforms import normalize
+        from medmoe_tpu.models.medmoe import MedMoE
+        from tests.helpers import tiny_text, tiny_vision
+
+        model = MedMoE(vision=tiny_vision(), text=tiny_text())
+        img = (np.random.RandomState(0).rand(2, 8, 8, 3) * 255).astype(
+            np.uint8)
+        on_device = model._maybe_normalize(jnp.asarray(img))
+        host = normalize(img, "imagenet")
+        np.testing.assert_allclose(np.asarray(on_device), host, rtol=1e-5,
+                                   atol=1e-6)
+        # float input passes through untouched
+        f32 = host.astype(np.float32)
+        np.testing.assert_array_equal(
+            np.asarray(model._maybe_normalize(jnp.asarray(f32))), f32)
