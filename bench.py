@@ -32,24 +32,37 @@ def main() -> None:
     import jax
 
     from __graft_entry__ import _flagship_module, _synthetic_batch
+    from medmoe_tpu.parallel.mesh import make_mesh
+    from medmoe_tpu.parallel.sharding import batch_sharding, param_shardings
     from medmoe_tpu.train.state import TrainState
     from medmoe_tpu.train.step import build_train_step
 
     module, cfg = _flagship_module(tiny=False)
     vision = cfg.model.model.vision
     text = cfg.model.model.text
-    batch = _synthetic_batch(BATCH, int(vision.image_size),
+    n_chips = jax.device_count()
+    global_batch = BATCH * n_chips          # keep per-chip batch constant
+    batch = _synthetic_batch(global_batch, int(vision.image_size),
                              int(text.max_length), 1000)
+    mesh = make_mesh(data=n_chips, expert=1) if n_chips > 1 else None
     # pre-place the batch on device: this isolates compute throughput from
     # host→device transfer (which in this harness rides a network relay,
     # not the PCIe links of a real deployment; the input pipeline overlaps
     # transfers with compute in training anyway)
-    batch = jax.device_put(batch)
+    if mesh is not None:
+        batch = jax.device_put(batch, batch_sharding(mesh))
+    else:
+        batch = jax.device_put(batch)
 
     params = jax.jit(module.init_params)(jax.random.PRNGKey(0), batch)
     tx = module.make_optimizer(gradient_clip_val=0.25)
-    state = TrainState.create(params, tx)
-    step = build_train_step(module, accum_steps=1, donate=True)
+    if mesh is not None:
+        placed = jax.tree_util.tree_map(
+            jax.device_put, params, param_shardings(params, mesh))
+        state = TrainState.create(placed, tx)
+    else:
+        state = TrainState.create(params, tx)
+    step = build_train_step(module, mesh=mesh, accum_steps=1, donate=True)
 
     rng = jax.random.PRNGKey(1)
     for i in range(WARMUP_STEPS):
@@ -69,12 +82,11 @@ def main() -> None:
         best = min(best, (time.perf_counter() - t0) / STEPS_PER_BURST)
     dt = best
 
-    n_chips = jax.device_count()
-    pairs_per_sec_per_chip = BATCH / dt / n_chips
+    pairs_per_sec_per_chip = global_batch / dt / n_chips
     print(json.dumps({
         "metric": "pretraining image-text pairs/sec/chip "
                   "(full MedMoE step: Swin-T+MoE fwd+bwd, GLoRIA g+l, "
-                  f"router CE, Adam; B={BATCH})",
+                  f"router CE, Adam; B={BATCH}/chip x {n_chips} chips)",
         "value": round(pairs_per_sec_per_chip, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs_per_sec_per_chip
