@@ -24,7 +24,7 @@ import numpy as np
 REF_PAIRS_PER_SEC_PER_GPU = 150.0
 BATCH = 32
 WARMUP_STEPS = 2
-BURSTS = 5
+BURSTS = 8
 STEPS_PER_BURST = 8
 
 
