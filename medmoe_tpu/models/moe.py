@@ -28,6 +28,14 @@ src/models/components/swin.py:11-117) for TPU:
                     axis sharded over the mesh 'expert' axis; the one-hot
                     combine contracts the expert axis so XLA inserts the
                     psum over ICI. Per-device compute = (K/n_expert_shards)·B.
+    * ``topk``    — capacity dispatch + grouped matmuls (classic MoE form).
+
+  Measured on one v5e chip (full MedMoE step, B=32): gather 6.7k
+  pairs/s > dense 5.1k > topk 3.5k. For MedMoE's per-IMAGE routing the
+  routed unit carries a huge feature pyramid (≈4k patches), so gathering
+  the (smaller) expert parameters per sample beats dispatching the
+  features into [K, C, …] blocks; ``topk`` wins in the usual per-token
+  MoE regime (small tokens, many experts) and is kept for that scale.
 """
 
 from __future__ import annotations
