@@ -28,8 +28,14 @@ class _AnyAttr(types.ModuleType):
 
 
 def _stub(name: str) -> types.ModuleType:
+    import importlib.machinery
+
     mod = _AnyAttr(name)
     mod.__path__ = []          # behave as a package
+    # a real ModuleSpec keeps importlib.util.find_spec happy (transformers
+    # probes optional deps like torchvision at import time)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None,
+                                                  is_package=True)
     sys.modules[name] = mod
     return mod
 
