@@ -129,9 +129,18 @@ class Trainer:
         self.state = self._place_state(TrainState.create(params, tx))
         self.scheduler = module.make_scheduler()
 
+        start_epoch = 0
         if ckpt_path:
             self.state = restore_checkpoint(ckpt_path, self.state)
-            log.info(f"resumed from {ckpt_path} at step {int(self.state.step)}")
+            # epoch sidecar written by save_checkpoint(extra=...)
+            meta_path = os.path.abspath(ckpt_path) + ".meta.json"
+            if os.path.exists(meta_path):
+                import json
+
+                with open(meta_path) as f:
+                    start_epoch = int(json.load(f).get("epoch", -1)) + 1
+            log.info(f"resumed from {ckpt_path} at step "
+                     f"{int(self.state.step)}, epoch {start_epoch}")
 
         step_cache: Dict[int, Any] = {}
 
@@ -168,7 +177,7 @@ class Trainer:
         stop = False
         overfit_cache: List = []
 
-        for epoch in range(self.max_epochs):
+        for epoch in range(start_epoch, self.max_epochs):
             epoch_metrics: Dict[str, List[float]] = {}
             micro_batches: List = []
             t_epoch = time.time()
