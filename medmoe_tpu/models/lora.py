@@ -149,6 +149,56 @@ class LoRAMergedLinear(nn.Module):
         return y
 
 
+class LoRAMultiheadAttention(nn.Module):
+    """Multi-head attention with per-projection LoRA adapters (reference
+    PlainMultiheadAttentionLoRA, lora_layers.py:312-501 — rebuilds an
+    nn.MultiheadAttention with LoRA on selected q/k/v/out projections)."""
+
+    dim: int
+    num_heads: int
+    r: int = 8
+    alpha: int = 16
+    dropout_rate: float = 0.0
+    enable_lora: Tuple[bool, bool, bool, bool] = (True, False, True, True)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, query: jnp.ndarray,
+                 key: Optional[jnp.ndarray] = None,
+                 value: Optional[jnp.ndarray] = None,
+                 mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        key = query if key is None else key
+        value = key if value is None else value
+        q_on, k_on, v_on, o_on = self.enable_lora
+
+        def proj(name, enabled):
+            r = self.r if enabled else 0
+            return LoRALinear(self.dim, r=r, alpha=self.alpha,
+                              dropout_rate=self.dropout_rate,
+                              dtype=self.dtype, name=name)
+
+        b, tq, _ = query.shape
+        hd = self.dim // self.num_heads
+        q = proj("q_proj", q_on)(query, deterministic).reshape(
+            b, tq, self.num_heads, hd)
+        k = proj("k_proj", k_on)(key, deterministic).reshape(
+            b, key.shape[1], self.num_heads, hd)
+        v = proj("v_proj", v_on)(value, deterministic).reshape(
+            b, value.shape[1], self.num_heads, hd)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                          preferred_element_type=jnp.float32)
+        attn = attn / jnp.sqrt(jnp.float32(hd))
+        if mask is not None:
+            attn = jnp.where(mask, attn, -1e30)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+        out = out.astype(query.dtype).reshape(b, tq, self.dim)
+        return proj("out_proj", o_on)(out, deterministic)
+
+
 # --------------------------------------------------------------------------
 # functional utilities (replace torch's stateful merge/freeze)
 # --------------------------------------------------------------------------

@@ -184,6 +184,14 @@ def soft_xent(target: jnp.ndarray, logits: jnp.ndarray) -> jnp.ndarray:
     return -jnp.sum(target * logprobs) / logits.shape[0]
 
 
+def soft_xent_penalty(target: jnp.ndarray, logits: jnp.ndarray,
+                      penalty: jnp.ndarray) -> jnp.ndarray:
+    """reference softXEntPenalty (losses.py:805-812): per-element penalty
+    weighting inside the soft CE."""
+    logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return -jnp.sum(target * logprobs * penalty) / logits.shape[0]
+
+
 def hard_negative_loss(imgs: jnp.ndarray, caps: jnp.ndarray, nmax: int = 1,
                        margin: float = 0.2) -> jnp.ndarray:
     """Margin loss over the nmax hardest negatives (reference

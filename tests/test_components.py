@@ -287,3 +287,37 @@ class TestHeads:
         assert all(float(jnp.abs(g).max()) == 0.0 for g in enc_grads)
         head_grads = jax.tree_util.tree_leaves(grads["head"])
         assert any(float(jnp.abs(g).max()) > 0.0 for g in head_grads)
+
+
+class TestLoRAMultiheadAttention:
+    def test_shapes_and_adapter_masking(self):
+        from medmoe_tpu.models.lora import (LoRAMultiheadAttention,
+                                            lora_param_mask)
+
+        m = LoRAMultiheadAttention(dim=8, num_heads=2, r=2)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 5, 8), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 5, 8)
+        # LoRA only on q/v/out (reference default), not k
+        mask = lora_param_mask(v["params"])
+        assert "lora_a" in v["params"]["q_proj"]
+        assert "lora_a" not in v["params"]["k_proj"]
+        assert mask["q_proj"]["lora_a"] is True
+
+
+class TestSoftXEntPenalty:
+    def test_penalty_weighting(self):
+        from medmoe_tpu.ops.losses import soft_xent, soft_xent_penalty
+
+        rng = np.random.RandomState(0)
+        target = np.eye(4, dtype=np.float32)
+        logits = jnp.asarray(rng.randn(4, 4), jnp.float32)
+        ones = jnp.ones((4, 4), jnp.float32)
+        np.testing.assert_allclose(
+            float(soft_xent_penalty(jnp.asarray(target), logits, ones)),
+            float(soft_xent(jnp.asarray(target), logits)), rtol=1e-6)
+        halved = float(soft_xent_penalty(jnp.asarray(target), logits,
+                                         ones * 0.5))
+        assert abs(halved * 2 - float(soft_xent(jnp.asarray(target),
+                                                logits))) < 1e-5

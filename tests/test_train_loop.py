@@ -85,8 +85,10 @@ class TestTrainCLI:
                               "trainer.limit_val_batches=1"])
         ckpt = os.path.join(str(tmp_path), "logs", "train", "runs",
                             "checkpoints", "last")
+        # resume continues from the saved epoch: max_epochs=2 runs exactly
+        # one more epoch (epoch 1)
         metrics = _run_train(tmp_path, [
-            "trainer.max_epochs=1", "trainer.accumulate_grad_batches=1",
+            "trainer.max_epochs=2", "trainer.accumulate_grad_batches=1",
             "trainer.limit_val_batches=1", f"ckpt_path={ckpt}"])
         assert np.isfinite(metrics["train/loss"])
 
