@@ -30,12 +30,32 @@ def seed_everything(seed: Optional[int]) -> None:
 
 def _apply_accelerator(cfg) -> None:
     """trainer.accelerator=cpu pins the host platform (test/debug parity
-    with the reference's trainer=cpu/ddp_sim configs)."""
+    with the reference's trainer=cpu/ddp_sim configs). Honors
+    XLA_FLAGS=--xla_force_host_platform_device_count=N or an integer
+    trainer.devices for multi-device CPU simulation (this image's
+    sitecustomize imports jax early, so the env var alone can be too
+    late — jax.config is authoritative)."""
+    import os
+    import re
+
     import jax
 
     accel = cfg.trainer.get("accelerator", "tpu")
     if accel == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        n = None
+        m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+                      os.environ.get("XLA_FLAGS", ""))
+        if m:
+            n = int(m.group(1))
+        devices = cfg.trainer.get("devices")
+        if isinstance(devices, int) and devices > 1:
+            n = max(n or 0, devices)
+        if n:
+            try:
+                jax.config.update("jax_num_cpu_devices", n)
+            except RuntimeError:
+                pass   # backend already initialized (e.g. under pytest)
 
 
 from medmoe_tpu.utils.task import extras, get_metric_value, task_wrapper

@@ -14,9 +14,14 @@ _FORMAT = "[%(asctime)s][%(name)s][%(levelname)s] - %(message)s"
 
 
 def _process_index() -> int:
+    """Process index WITHOUT forcing backend initialization — logging must
+    never pin the platform before the CLI applies trainer.accelerator."""
     try:
         import jax
+        from jax._src import xla_bridge
 
+        if not getattr(xla_bridge, "_backends", None):
+            return 0           # backend not up yet → assume rank 0
         return jax.process_index()
     except Exception:
         return 0
