@@ -18,7 +18,7 @@ losses.py:989 — slicing before a softmax over words ≡ -inf masking).
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

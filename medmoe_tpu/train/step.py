@@ -14,8 +14,7 @@ medmoe_module.py:318-339 + configs/experiment/pretraining_medmoe.yaml:23):
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
