@@ -32,6 +32,10 @@ from medmoe_tpu.data.tokenizer import WordPieceTokenizer, load_or_build_tokenize
 from medmoe_tpu.data.transforms import ImageTransform, decode_image
 
 
+def _ceil_div(n: int, d: int) -> int:
+    return max(1, -(-n // d))
+
+
 def prefetched(it: Iterator, size: int = 2) -> Iterator:
     """Background-thread prefetch so host preprocessing overlaps device
     compute (the reference instead preprocesses inside model.forward)."""
@@ -75,7 +79,12 @@ class BaseDataModule:
         # host→device traffic — see MedMoE._maybe_normalize)
         self.emit_uint8 = emit_uint8
         self._tokenizer: Optional[WordPieceTokenizer] = None
+        # per-split batch counts, consumed by the Trainer for fractional
+        # limit_*_batches (Lightning dataset-fraction semantics) and the
+        # plateau-scheduler cadence; None = unknown-length iterable
         self.steps_per_epoch: Optional[int] = None
+        self.val_steps_per_epoch: Optional[int] = None
+        self.test_steps_per_epoch: Optional[int] = None
 
     # -- tokenizer ------------------------------------------------------
     @property
@@ -152,6 +161,8 @@ class SyntheticDataModule(BaseDataModule):
         self.num_samples = num_samples
         self._num_classes = num_classes
         self.steps_per_epoch = num_samples // self.batch_size
+        self.val_steps_per_epoch = self.steps_per_epoch
+        self.test_steps_per_epoch = self.steps_per_epoch
 
     def _corpus_fallback(self):
         return self.CAPTIONS
@@ -184,7 +195,9 @@ class UnimedDataModule(BaseDataModule):
                  test_data_paths: str = "", data_dir: str = "",
                  resampled: bool = True, shuffle_buffer: int = 5000,
                  weights: Optional[str] = None, pin_memory: bool = False,
-                 use_native: bool = False, **kw):
+                 use_native: bool = False,
+                 train_num_samples: Optional[int] = None,
+                 val_num_samples: Optional[int] = None, **kw):
         super().__init__(**kw)
         self.train_data_paths = train_data_paths
         self.val_data_paths = val_data_paths
@@ -192,6 +205,15 @@ class UnimedDataModule(BaseDataModule):
         self.resampled = resampled
         self.shuffle_buffer = shuffle_buffer
         self.weights = weights
+        # epoch length for iterable shards (the reference's with_epoch /
+        # SharedEpoch num_batches machinery, data_utils.py:65-88,387-490):
+        # explicit *_num_samples config wins, else sizes.json sidecars
+        self.steps_per_epoch = self._steps_for(train_data_paths,
+                                               train_num_samples)
+        self.val_steps_per_epoch = self._steps_for(val_data_paths,
+                                                   val_num_samples)
+        self.test_steps_per_epoch = self._steps_for(self.test_data_paths,
+                                                    val_num_samples)
         # native C++ fused decode→resize→normalize (native/medmoe_native.cpp)
         # — a throughput option; the PIL path stays default for bit-parity
         # with PIL-trained eval stats (PIL downscale antialiases, the native
@@ -200,6 +222,21 @@ class UnimedDataModule(BaseDataModule):
 
     def _corpus_fallback(self):
         return SyntheticDataModule.CAPTIONS
+
+    def _steps_for(self, urls: str, num_samples: Optional[int]
+                   ) -> Optional[int]:
+        if not urls:
+            return None
+        if num_samples is None:
+            from medmoe_tpu.data.shards import discover_num_samples
+
+            num_samples = discover_num_samples(urls)
+        if not num_samples:
+            return None
+        import jax
+
+        per_process = num_samples // max(jax.process_count(), 1)
+        return max(1, per_process // self.batch_size)
 
     def _reader(self, urls: str, train: bool) -> WebDatasetReader:
         import jax
@@ -316,10 +353,10 @@ class CheXpertDataModule(BaseDataModule):
                         "report": r.get("Report Impression", "")})
         return out
 
-    def _iter(self, split: str, train: bool) -> Iterator:
+    def _iter(self, rows: List[Dict[str, Any]], train: bool) -> Iterator:
         transform = ImageTransform(self.image_size, pad_to_square=True,
                                    train=train, seed=self.seed)
-        for row in self._rows(split):
+        for row in rows:
             try:
                 img = transform(decode_image(open(row["path"], "rb").read()))
             except Exception:
@@ -339,13 +376,22 @@ class CheXpertDataModule(BaseDataModule):
             yield {"image": np.stack(images), "label": np.stack(labels)}
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
-        return prefetched(self._label_batched(self._iter("train", True)))
+        rows = self._rows("train")
+        self.steps_per_epoch = max(1, len(rows) // self.batch_size)
+        # fresh in-batch negatives every epoch (reference DataLoader
+        # shuffle=True); deterministic in (seed, epoch)
+        random.Random(self.seed * 1_000_003 + epoch).shuffle(rows)
+        return prefetched(self._label_batched(self._iter(rows, True)))
 
     def val_dataloader(self) -> Iterator:
-        return prefetched(self._label_batched(self._iter("valid", False)))
+        rows = self._rows("valid")
+        self.val_steps_per_epoch = _ceil_div(len(rows), self.batch_size)
+        return prefetched(self._label_batched(self._iter(rows, False)))
 
     def test_dataloader(self) -> Iterator:
-        return prefetched(self._label_batched(self._iter("test", False)))
+        rows = self._rows("test")
+        self.test_steps_per_epoch = _ceil_div(len(rows), self.batch_size)
+        return prefetched(self._label_batched(self._iter(rows, False)))
 
     @property
     def num_classes(self) -> int:
@@ -375,11 +421,11 @@ class CsvDataModule(BaseDataModule):
         with open(self.csv_path, newline="") as f:
             return list(csv.DictReader(f, delimiter=self.sep))
 
-    def _iter(self, train: bool) -> Iterator:
+    def _iter(self, rows: List[Dict[str, str]], train: bool) -> Iterator:
         transform = ImageTransform(self.image_size, train=train,
                                    seed=self.seed,
                                    normalize_output=not self.emit_uint8)
-        for row in self._rows():
+        for row in rows:
             path = row.get(self.img_key, "")
             if self.data_dir and not os.path.isabs(path):
                 path = os.path.join(self.data_dir, path)
@@ -391,10 +437,16 @@ class CsvDataModule(BaseDataModule):
             yield img, row.get(self.caption_key, ""), label
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
-        return prefetched(self._batched(self._iter(True)))
+        rows = self._rows()
+        self.steps_per_epoch = max(1, len(rows) // self.batch_size)
+        random.Random(self.seed * 1_000_003 + epoch).shuffle(rows)
+        return prefetched(self._batched(self._iter(rows, True)))
 
     def val_dataloader(self) -> Iterator:
-        return prefetched(self._batched(self._iter(False), drop_last=False))
+        rows = self._rows()
+        self.val_steps_per_epoch = _ceil_div(len(rows), self.batch_size)
+        return prefetched(self._batched(self._iter(rows, False),
+                                        drop_last=False))
 
 
 class PmcoaDataModule(BaseDataModule):
@@ -427,10 +479,10 @@ class PmcoaDataModule(BaseDataModule):
                   "test": idx[int(0.95 * n):]}
         return [records[i] for i in bounds[split]]
 
-    def _iter(self, split: str, train: bool) -> Iterator:
+    def _iter(self, records: List[Dict[str, Any]], train: bool) -> Iterator:
         transform = ImageTransform(self.image_size, norm="pmcoa",
                                    train=train, seed=self.seed)
-        for rec in self._records(split):
+        for rec in records:
             path = rec.get("image") or rec.get("image_path") or ""
             if not os.path.isabs(path):
                 path = os.path.join(self.data_dir, path)
@@ -443,10 +495,15 @@ class PmcoaDataModule(BaseDataModule):
             yield img, caption, label
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
-        return prefetched(self._batched(self._iter("train", True)))
+        records = self._records("train")
+        self.steps_per_epoch = max(1, len(records) // self.batch_size)
+        random.Random(self.seed * 1_000_003 + epoch).shuffle(records)
+        return prefetched(self._batched(self._iter(records, True)))
 
     def val_dataloader(self) -> Iterator:
-        return prefetched(self._batched(self._iter("valid", False),
+        records = self._records("valid")
+        self.val_steps_per_epoch = _ceil_div(len(records), self.batch_size)
+        return prefetched(self._batched(self._iter(records, False),
                                         drop_last=False))
 
 
@@ -490,10 +547,10 @@ class SlakeDataModule(BaseDataModule):
             return int("abnormal" in qa or "tumor" in qa or "lesion" in qa)
         return int(rec.get("content_type_id", 0))
 
-    def _iter(self, split: str, train: bool) -> Iterator:
+    def _iter(self, records: List[Dict[str, Any]], train: bool) -> Iterator:
         transform = ImageTransform(self.image_size, norm="slake",
                                    train=train, seed=self.seed)
-        for rec in self._records(split):
+        for rec in records:
             path = os.path.join(self.data_dir, "imgs",
                                 rec.get("img_name", ""))
             try:
@@ -505,10 +562,15 @@ class SlakeDataModule(BaseDataModule):
             yield img, caption, self._label(rec)
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
-        return prefetched(self._batched(self._iter("train", True)))
+        records = self._records("train")
+        self.steps_per_epoch = max(1, len(records) // self.batch_size)
+        random.Random(self.seed * 1_000_003 + epoch).shuffle(records)
+        return prefetched(self._batched(self._iter(records, True)))
 
     def val_dataloader(self) -> Iterator:
-        return prefetched(self._batched(self._iter("valid", False),
+        records = self._records("valid")
+        self.val_steps_per_epoch = _ceil_div(len(records), self.batch_size)
+        return prefetched(self._batched(self._iter(records, False),
                                         drop_last=False))
 
     @property

@@ -25,6 +25,7 @@ class ShardWriter:
         self.count = 0
         self.total = 0
         self._tar: Optional[tarfile.TarFile] = None
+        self._path: Optional[str] = None
 
     def _open_next(self) -> None:
         self.close()
@@ -32,8 +33,28 @@ class ShardWriter:
             if "%" in self.pattern else self.pattern
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         self._tar = tarfile.open(path, "w")
+        self._path = path
         self.shard_index += 1
         self.count = 0
+
+    def _record_size(self) -> None:
+        """Merge this shard's sample count into the directory's sizes.json
+        (the sidecar discover_num_samples / the reference's
+        get_dataset_size read for epoch-length accounting)."""
+        import json
+
+        sizes_path = os.path.join(os.path.dirname(self._path) or ".",
+                                  "sizes.json")
+        sizes = {}
+        if os.path.exists(sizes_path):
+            try:
+                with open(sizes_path) as f:
+                    sizes = json.load(f)
+            except (OSError, ValueError):
+                sizes = {}
+        sizes[os.path.basename(self._path)] = self.count
+        with open(sizes_path, "w") as f:
+            json.dump(sizes, f)
 
     def write(self, sample: Dict[str, Scalar]) -> None:
         if self._tar is None or self.count >= self.maxcount:
@@ -59,6 +80,7 @@ class ShardWriter:
         if self._tar is not None:
             self._tar.close()
             self._tar = None
+            self._record_size()
 
     def __enter__(self) -> "ShardWriter":
         return self

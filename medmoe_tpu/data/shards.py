@@ -72,6 +72,36 @@ def expand_urls(urls: str | Sequence[str],
     return all_urls, all_weights
 
 
+def discover_num_samples(urls: str | Sequence[str]) -> Optional[int]:
+    """Total sample count across shards via ``sizes.json`` sidecars.
+
+    The reference discovers shard sizes from a ``sizes.json`` file in each
+    shard directory mapping shard basename → sample count (reference
+    data_utils.py:166-185 get_dataset_size). Returns None when any shard's
+    directory lacks a sizes entry — callers then fall back to configured
+    ``num_samples`` or unknown-length semantics.
+    """
+    expanded, _ = expand_urls(urls)
+    sizes_cache: Dict[str, Optional[Dict[str, int]]] = {}
+    total = 0
+    for url in expanded:
+        d = os.path.dirname(url)
+        if d not in sizes_cache:
+            path = os.path.join(d, "sizes.json")
+            try:
+                import json
+
+                with open(path) as f:
+                    sizes_cache[d] = {k: int(v) for k, v in json.load(f).items()}
+            except (OSError, ValueError):
+                sizes_cache[d] = None
+        sizes = sizes_cache[d]
+        if sizes is None or os.path.basename(url) not in sizes:
+            return None
+        total += sizes[os.path.basename(url)]
+    return total
+
+
 def iterate_tar(path: str) -> Iterator[Tuple[str, bytes]]:
     """Yield (member_name, bytes); skip anything unreadable."""
     try:

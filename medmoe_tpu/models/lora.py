@@ -214,26 +214,56 @@ def lora_param_mask(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(mask, params)
 
 
-def merge_lora(params: Dict[str, Any], alpha_over_r: Optional[float] = None
-               ) -> Dict[str, Any]:
-    """Fold lora_a/lora_b into the base kernels and drop the factors
-    (the functional analogue of the reference's eval-time merge)."""
+def merge_lora(params: Dict[str, Any],
+               alpha_over_r: Optional[float] = None) -> Dict[str, Any]:
+    """Fold lora_a/lora_b into the base weights and drop the factors
+    (the functional analogue of the reference's eval-time merge).
+
+    ``alpha_over_r`` is the adapter scale (LoRA alpha / r) and is required
+    whenever the tree contains any factors — a silent 1.0 default would
+    produce an unscaled (wrong) merge. Handles LoRALinear ('base.kernel'),
+    LoRAConv ('kernel', flattened-kernel factorization) and LoRAEmbedding
+    ('base.embedding'). LoRAMergedLinear factors are block-structured (which
+    output blocks are adapted is a module attribute, not recoverable from
+    the params) — those nodes are left intact, un-merged, so applying the
+    module still produces identical outputs.
+    """
 
     def walk(node):
         if not isinstance(node, dict):
             return node
         node = {k: walk(v) for k, v in node.items()}
-        if "lora_a" in node and "lora_b" in node:
-            a, b = node.pop("lora_a"), node.pop("lora_b")
-            scale = alpha_over_r if alpha_over_r is not None else 1.0
-            if "base" in node and "kernel" in node["base"]:
-                node["base"] = dict(node["base"])
-                node["base"]["kernel"] = (node["base"]["kernel"]
-                                          + (a @ b) * scale)
-            elif "kernel" in node:       # LoRAConv
-                kh, kw, in_ch, out = node["kernel"].shape
+        if "lora_a" not in node or "lora_b" not in node:
+            return node
+        a, b = node["lora_a"], node["lora_b"]
+        base = node.get("base")
+        if isinstance(base, dict) and "kernel" in base \
+                and (a.shape[0], b.shape[1]) == base["kernel"].shape:
+            if alpha_over_r is None:
+                raise ValueError("merge_lora: alpha_over_r is required to "
+                                 "fold LoRA factors (pass alpha / r)")
+            node.pop("lora_a"), node.pop("lora_b")
+            node["base"] = {**base,
+                            "kernel": base["kernel"] + (a @ b) * alpha_over_r}
+        elif isinstance(base, dict) and "embedding" in base \
+                and (a.shape[0], b.shape[1]) == base["embedding"].shape:
+            if alpha_over_r is None:
+                raise ValueError("merge_lora: alpha_over_r is required to "
+                                 "fold LoRA factors (pass alpha / r)")
+            node.pop("lora_a"), node.pop("lora_b")
+            node["base"] = {**base, "embedding":
+                            base["embedding"] + (a @ b) * alpha_over_r}
+        elif "kernel" in node:           # LoRAConv: factors over flat kernel
+            kh, kw, in_ch, out = node["kernel"].shape
+            if b.shape == (out, a.shape[0]) \
+                    and a.shape[1] == kh * kw * in_ch:
+                if alpha_over_r is None:
+                    raise ValueError("merge_lora: alpha_over_r is required "
+                                     "to fold LoRA factors (pass alpha / r)")
+                node.pop("lora_a"), node.pop("lora_b")
                 delta = (b @ a).T.reshape(kh, kw, in_ch, out)
-                node["kernel"] = node["kernel"] + delta * scale
+                node["kernel"] = node["kernel"] + delta * alpha_over_r
+        # anything else (e.g. LoRAMergedLinear): leave factors in place
         return node
 
     return walk(dict(params))

@@ -45,6 +45,7 @@ class ModelCheckpoint(Callback):
                      metrics: Dict[str, float]) -> None:
         from medmoe_tpu.utils.checkpoint import save_checkpoint
 
+        loop_extra = getattr(trainer, "checkpoint_extra", dict)()
         value = metrics.get(self.monitor)
         if self.save_top_k != 0 and value is not None \
                 and self._is_better(float(value)):
@@ -52,10 +53,12 @@ class ModelCheckpoint(Callback):
             name = self.filename.format(epoch=epoch)
             self.best_path = os.path.join(self.dirpath, name)
             save_checkpoint(self.best_path, trainer.state,
-                            extra={"epoch": epoch, self.monitor: value})
+                            extra={"epoch": epoch, self.monitor: value,
+                                   **loop_extra})
         if self.save_last:
             save_checkpoint(os.path.join(self.dirpath, "last"),
-                            trainer.state, extra={"epoch": epoch})
+                            trainer.state,
+                            extra={"epoch": epoch, **loop_extra})
 
 
 class EarlyStopping(Callback):

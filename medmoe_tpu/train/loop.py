@@ -30,12 +30,28 @@ log = get_logger(__name__)
 
 
 def _limit(iterable: Iterable, limit: Optional[float],
-           steps_per_epoch: Optional[int]) -> Iterable:
+           steps_per_epoch: Optional[int], what: str = "train") -> Iterable:
+    """Cap an epoch's batches. Lightning semantics: an int limit is a batch
+    count; a float limit is a fraction of the dataloader (1.0 = all). A
+    fractional limit with unknown dataloader length is an ERROR — silently
+    truncating to int(0.05)=0 batches (the round-1 bug) disabled val/loss,
+    the plateau scheduler, and ModelCheckpoint without a trace."""
     if limit is None:
         yield from iterable
         return
-    if isinstance(limit, float) and limit <= 1.0 and steps_per_epoch:
+    if isinstance(limit, float) and not limit.is_integer():
+        if not steps_per_epoch:
+            raise ValueError(
+                f"limit_{what}_batches={limit} is a dataset fraction but the "
+                f"{what} dataloader length is unknown. Set the datamodule's "
+                f"steps_per_epoch (webdataset: provide sizes.json sidecars "
+                f"or *_num_samples config), pass trainer.steps_per_epoch, "
+                f"or use an integer batch count.")
         limit = max(1, int(limit * steps_per_epoch))
+    elif isinstance(limit, float) and limit == 1.0:
+        # float 1.0 = the whole dataloader (int 1 = one batch)
+        yield from iterable
+        return
     limit = int(limit)
     for i, item in enumerate(iterable):
         if i >= limit:
@@ -99,6 +115,16 @@ class Trainer:
         self.metrics_history: List[Dict[str, float]] = []
 
     # ------------------------------------------------------------------
+    def checkpoint_extra(self) -> Dict[str, Any]:
+        """Loop state persisted alongside the train-state pytree (sidecar
+        metadata): plateau-scheduler best/patience so resume keeps the LR
+        trajectory of an uninterrupted run."""
+        extra: Dict[str, Any] = {}
+        if self.scheduler is not None and hasattr(self.scheduler,
+                                                  "state_dict"):
+            extra["scheduler"] = self.scheduler.state_dict()
+        return extra
+
     def _log(self, metrics: Dict[str, float], step: int) -> None:
         for logger in self.loggers:
             logger.log_metrics(metrics, step)
@@ -125,6 +151,11 @@ class Trainer:
         # init from one sample batch
         init_batch = next(iter(datamodule.train_dataloader(epoch=0)))
         params = jax.jit(module.init_params)(rng, init_batch)
+        # frozen soft-label tool BERT = the INITIAL text-tower weights,
+        # snapshotted before training or checkpoint restore mutates them
+        # (reference medmoe_module.py:207-210 separate frozen tool model)
+        if hasattr(module, "capture_tool_params"):
+            module.capture_tool_params(params)
         tx = module.make_optimizer(gradient_clip_val=self.gradient_clip_val)
         self.state = self._place_state(TrainState.create(params, tx))
         self.scheduler = module.make_scheduler()
@@ -132,13 +163,18 @@ class Trainer:
         start_epoch = 0
         if ckpt_path:
             self.state = restore_checkpoint(ckpt_path, self.state)
-            # epoch sidecar written by save_checkpoint(extra=...)
+            # epoch + scheduler sidecar written by save_checkpoint(extra=...)
             meta_path = os.path.abspath(ckpt_path) + ".meta.json"
             if os.path.exists(meta_path):
                 import json
 
                 with open(meta_path) as f:
-                    start_epoch = int(json.load(f).get("epoch", -1)) + 1
+                    meta = json.load(f)
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                if self.scheduler is not None and meta.get("scheduler"):
+                    # restores best/patience so the LR trajectory matches an
+                    # uninterrupted run (Lightning resume semantics)
+                    self.scheduler.load_state_dict(meta["scheduler"])
             log.info(f"resumed from {ckpt_path} at step "
                      f"{int(self.state.step)}, epoch {start_epoch}")
 
@@ -172,12 +208,14 @@ class Trainer:
             profile_dir = os.path.join(self.default_root_dir, "profile")
             jax.profiler.start_trace(profile_dir)
 
-        step_rng = rng
         global_step = int(self.state.step)
         stop = False
         overfit_cache: List = []
 
         for epoch in range(start_epoch, self.max_epochs):
+            # dropout RNG derived from (seed, epoch): a resumed run replays
+            # the exact RNG stream of an uninterrupted one
+            step_rng = jax.random.fold_in(rng, epoch)
             epoch_metrics: Dict[str, List[float]] = {}
             micro_batches: List = []
             t_epoch = time.time()
@@ -191,9 +229,13 @@ class Trainer:
                             break
                 train_iter: Iterable = iter(list(overfit_cache))
             else:
-                train_iter = _limit(datamodule.train_dataloader(epoch=epoch),
-                                    self.limit_train_batches,
-                                    self.steps_per_epoch)
+                # call the dataloader first: map-style datamodules discover
+                # their row counts (steps_per_epoch) at loader-build time
+                loader = datamodule.train_dataloader(epoch=epoch)
+                steps = self.steps_per_epoch or getattr(
+                    datamodule, "steps_per_epoch", None)
+                train_iter = _limit(loader, self.limit_train_batches,
+                                    steps, "train")
 
             for batch in train_iter:
                 micro_batches.append(batch)
@@ -286,8 +328,10 @@ class Trainer:
         if eval_step is None:
             eval_step = build_eval_step(self.module, mesh=self.mesh)
         sums: Dict[str, List[float]] = {}
-        for batch in _limit(datamodule.val_dataloader(),
-                            self.limit_val_batches, None):
+        loader = datamodule.val_dataloader()
+        for batch in _limit(loader, self.limit_val_batches,
+                            getattr(datamodule, "val_steps_per_epoch", None),
+                            "val"):
             metrics = eval_step(self.state.params, batch)
             for k, v in metrics.items():
                 sums.setdefault(f"val/{k}", []).append(float(v))
@@ -306,8 +350,10 @@ class Trainer:
             self.state = restore_checkpoint(ckpt_path, self.state)
         eval_step = build_eval_step(module, mesh=self.mesh)
         sums: Dict[str, List[float]] = {}
-        for batch in _limit(datamodule.test_dataloader(),
-                            self.limit_test_batches, None):
+        loader = datamodule.test_dataloader()
+        for batch in _limit(loader, self.limit_test_batches,
+                            getattr(datamodule, "test_steps_per_epoch", None),
+                            "test"):
             metrics = eval_step(self.state.params, batch)
             for k, v in metrics.items():
                 sums.setdefault(f"test/{k}", []).append(float(v))

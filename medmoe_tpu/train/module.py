@@ -73,6 +73,22 @@ class MedMoEPretrainingModule:
         self.agg = self.loss_cfg.get("agg", "sum")
         self.soft_label = bool(self.loss_cfg.get("soft_label", False))
         self.block_size = self.loss_cfg.get("block_size", None)
+        # global_negatives=true → contrastive losses over the FULL global
+        # batch. Under SPMD the jitted loss already sees the whole sharded
+        # batch, so "gather negatives across ranks" (reference
+        # distributed.py:47-48 backprop-all_gather) is simply block_size=None
+        # — XLA inserts the all-gathers. false → per-rank blocks
+        # (block_size), the reference's NONE/LOCAL semantics.
+        if bool(self.loss_cfg.get("global_negatives", False)):
+            self.block_size = None
+        # soft-label targets come from a FROZEN tool BERT (reference
+        # medmoe_module.py:207-210): snapshot of the initial text-encoder
+        # weights, captured by the Trainer at init via capture_tool_params.
+        # Only needed when BERT itself trains — with freeze_bert the live
+        # weights are the initial weights and no snapshot is kept.
+        self.uses_tool_bert = self.soft_label and not bool(
+            self.text_cfg.get("freeze_bert", False))
+        self.tool_bert_params = None
 
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]):
@@ -93,12 +109,28 @@ class MedMoEPretrainingModule:
         return out
 
     # ------------------------------------------------------------------
-    def _soft_targets(self, params, batch):
+    def capture_tool_params(self, params) -> None:
+        """Snapshot the initial BERT weights as the frozen soft-label tool
+        (called by the Trainer right after parameter init, before any
+        training step or checkpoint restore mutates them)."""
+        if self.uses_tool_bert and self.tool_bert_params is None:
+            try:
+                # real copies: the live tree is donated into the train step,
+                # so aliased buffers would be deleted after the first update
+                self.tool_bert_params = jax.tree_util.tree_map(
+                    jnp.copy, params["text_encoder"]["bert"])
+            except (KeyError, TypeError):
+                self.tool_bert_params = None
+
+    def _soft_targets(self, params, batch, tool_params=None):
         """Tool-BERT text-similarity soft targets (reference
-        medmoe_module.py:258-282): CLS-pool, L2-norm, pairwise scores."""
+        medmoe_module.py:258-282): CLS-pool, L2-norm, pairwise scores.
+        Scored by the frozen tool weights when available so the targets do
+        not drift as the in-training BERT updates."""
         from medmoe_tpu.models.bert import BertModel, BertConfig
 
-        bert_params = params["text_encoder"]["bert"]
+        bert_params = (tool_params if tool_params is not None
+                       else params["text_encoder"]["bert"])
         cfg = self.text_cfg
         bert_cfg = BertConfig(
             vocab_size=int(cfg.get("vocab_size", 28996)),
@@ -132,7 +164,8 @@ class MedMoEPretrainingModule:
     # ------------------------------------------------------------------
     def loss_fn(self, params, batch: Dict[str, jnp.ndarray],
                 deterministic: bool = True,
-                rngs: Optional[Dict[str, jax.Array]] = None
+                rngs: Optional[Dict[str, jax.Array]] = None,
+                tool_params: Optional[Any] = None
                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         params = self._freeze(params)
         outs = self.model.apply(
@@ -143,7 +176,7 @@ class MedMoEPretrainingModule:
 
         idx = probs = None
         if self.soft_label:
-            idx, probs = self._soft_targets(params, batch)
+            idx, probs = self._soft_targets(params, batch, tool_params)
 
         def local_fn(il, tl, cl):
             out = self.local_loss(il, tl, cl, temp1=self.temp1,

@@ -33,12 +33,16 @@ def build_train_step(module, mesh: Optional[Mesh] = None,
     batch is just [B, ...].
     """
 
-    def loss_for_micro(params, micro_batch, rng):
+    uses_tool = bool(getattr(module, "uses_tool_bert", False))
+
+    def loss_for_micro(params, micro_batch, rng, tool):
+        kw = {"tool_params": tool} if uses_tool else {}
         return module.loss_fn(params, micro_batch, deterministic=False,
-                              rngs={"dropout": rng})
+                              rngs={"dropout": rng}, **kw)
 
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
-                rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+                rng: jax.Array, tool
+                ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         grad_fn = jax.grad(loss_for_micro, has_aux=True)
 
         if accum_steps > 1:
@@ -47,7 +51,8 @@ def build_train_step(module, mesh: Optional[Mesh] = None,
             def scan_body(carry, inputs):
                 grads_acc, metrics_acc = carry
                 micro, micro_rng = inputs
-                grads, metrics = grad_fn(state.params, micro, micro_rng)
+                grads, metrics = grad_fn(state.params, micro, micro_rng,
+                                         tool)
                 grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads)
                 metrics_acc = jax.tree_util.tree_map(jnp.add, metrics_acc,
                                                      metrics)
@@ -57,7 +62,7 @@ def build_train_step(module, mesh: Optional[Mesh] = None,
                 lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
             first_micro = jax.tree_util.tree_map(lambda x: x[0], batch)
             metrics_shape = jax.eval_shape(
-                lambda p, b, r: grad_fn(p, b, r)[1],
+                lambda p, b, r: grad_fn(p, b, r, tool)[1],
                 state.params, first_micro, rngs[0])
             zero_metrics = jax.tree_util.tree_map(
                 lambda s: jnp.zeros(s.shape, s.dtype), metrics_shape)
@@ -67,7 +72,7 @@ def build_train_step(module, mesh: Optional[Mesh] = None,
             grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
             metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics)
         else:
-            grads, metrics = grad_fn(state.params, batch, rng)
+            grads, metrics = grad_fn(state.params, batch, rng, tool)
 
         new_state = state.apply_gradients(grads)
         metrics["grad_norm"] = jnp.sqrt(sum(
@@ -79,20 +84,39 @@ def build_train_step(module, mesh: Optional[Mesh] = None,
             batch_spec = NamedSharding(mesh, P(None, "data"))
         else:
             batch_spec = NamedSharding(mesh, P("data"))
-        return jax.jit(step_fn,
-                       in_shardings=(None, batch_spec, None),
-                       donate_argnums=(0,) if donate else ())
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(step_fn,
+                         in_shardings=(None, batch_spec, None, None),
+                         donate_argnums=(0,) if donate else ())
+    else:
+        jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    # the frozen soft-label tool tree (if any) rides as a real jit argument —
+    # never a baked-in compile-time constant — and is re-read per call
+    def step(state, batch, rng):
+        return jitted(state, batch, rng,
+                      getattr(module, "tool_bert_params", None))
+
+    return step
 
 
 def build_eval_step(module, mesh: Optional[Mesh] = None) -> Callable:
     """Returns eval_step(params, batch) -> metrics (no grads)."""
 
-    def eval_fn(params, batch):
-        _, metrics = module.loss_fn(params, batch, deterministic=True)
+    uses_tool = bool(getattr(module, "uses_tool_bert", False))
+
+    def eval_fn(params, batch, tool):
+        kw = {"tool_params": tool} if uses_tool else {}
+        _, metrics = module.loss_fn(params, batch, deterministic=True, **kw)
         return metrics
 
     if mesh is not None:
         batch_spec = NamedSharding(mesh, P("data"))
-        return jax.jit(eval_fn, in_shardings=(None, batch_spec))
-    return jax.jit(eval_fn)
+        jitted = jax.jit(eval_fn, in_shardings=(None, batch_spec, None))
+    else:
+        jitted = jax.jit(eval_fn)
+
+    def eval_step(params, batch):
+        return jitted(params, batch,
+                      getattr(module, "tool_bert_params", None))
+
+    return eval_step

@@ -162,6 +162,47 @@ class TestLoRA:
                                    rtol=1e-4, atol=1e-5)
         assert "lora_a" not in merged
 
+    def test_merge_lora_embedding(self):
+        from medmoe_tpu.models.lora import LoRAEmbedding, merge_lora
+
+        m = LoRAEmbedding(num_embeddings=11, features=6, r=3, alpha=6)
+        ids = jnp.asarray([[0, 4, 10], [2, 2, 7]], jnp.int32)
+        v = m.init(jax.random.PRNGKey(0), ids)
+        params = jax.tree_util.tree_map(np.asarray, v["params"])
+        # lora_a zero-init: randomize so the merge is load-bearing
+        params["lora_a"] = np.random.RandomState(3).randn(11, 3).astype(
+            np.float32)
+        live = m.apply({"params": params}, ids)
+        merged = merge_lora(params, alpha_over_r=6 / 3)
+        assert "lora_a" not in merged and "lora_b" not in merged
+        folded = np.asarray(merged["base"]["embedding"])[np.asarray(ids)]
+        np.testing.assert_allclose(np.asarray(live), folded,
+                                   rtol=1e-4, atol=1e-5)
+
+    def test_merge_lora_requires_scale(self):
+        import pytest
+
+        from medmoe_tpu.models.lora import LoRALinear, merge_lora
+
+        m = LoRALinear(6, r=2, alpha=4)
+        v = m.init(jax.random.PRNGKey(0), jnp.ones((2, 5)))
+        with pytest.raises(ValueError, match="alpha_over_r"):
+            merge_lora(jax.tree_util.tree_map(np.asarray, v["params"]))
+
+    def test_merge_lora_leaves_merged_linear_intact(self):
+        from medmoe_tpu.models.lora import LoRAMergedLinear, merge_lora
+
+        m = LoRAMergedLinear(12, enable_lora=(True, False, True), r=2)
+        x = jnp.ones((2, 5))
+        v = m.init(jax.random.PRNGKey(0), x)
+        params = jax.tree_util.tree_map(np.asarray, v["params"])
+        merged = merge_lora(params, alpha_over_r=1.0)
+        # block-structured factors are not foldable from params alone —
+        # they must survive so module application stays correct
+        assert "lora_a" in merged and "lora_b" in merged
+        np.testing.assert_allclose(np.asarray(m.apply({"params": merged}, x)),
+                                   np.asarray(m.apply({"params": params}, x)))
+
     def test_param_mask(self):
         from medmoe_tpu.models.lora import LoRALinear, lora_param_mask
 

@@ -47,9 +47,19 @@ class TestShardRoundTrip:
                 img = (rng.rand(8, 8, 3) * 255).astype(np.uint8)
                 w.write({"__key__": f"{i:04d}", "jpg": _png_bytes(img),
                          "txt": f"caption {i}", "cls": i % 3})
-        # 10 samples, 4/shard → 3 shards
-        shards = sorted(os.listdir(tmp_path))
+        # 10 samples, 4/shard → 3 shards + sizes.json sidecar
+        shards = sorted(f for f in os.listdir(tmp_path) if f.endswith(".tar"))
         assert len(shards) == 3
+        import json
+
+        with open(tmp_path / "sizes.json") as f:
+            sizes = json.load(f)
+        assert sizes == {"shard-000000.tar": 4, "shard-000001.tar": 4,
+                         "shard-000002.tar": 2}
+        from medmoe_tpu.data.shards import discover_num_samples
+
+        assert discover_num_samples(
+            str(tmp_path / "shard-{000000..000002}.tar")) == 10
 
         reader = WebDatasetReader(str(tmp_path / "shard-{000000..000002}.tar"))
         samples = list(reader.samples(epoch=0))
@@ -228,7 +238,20 @@ class TestCsvDataModule:
                            batch_size=3, image_size=16, max_length=8)
         batch = next(iter(dm.train_dataloader(0)))
         assert batch["image"].shape == (3, 16, 16, 3)
-        assert batch["label"].tolist() == [0, 1, 0]
+        assert dm.steps_per_epoch == 2
+        # train rows are epoch-shuffled (fresh in-batch negatives per epoch):
+        # full-epoch label multiset is preserved, determinism per (seed,epoch)
+        def epoch_labels(epoch):
+            return [lab for b in dm.train_dataloader(epoch)
+                    for lab in b["label"].tolist()]
+
+        assert sorted(epoch_labels(0)) == [0, 0, 0, 1, 1, 1]
+        assert epoch_labels(0) == epoch_labels(0)
+        assert any(epoch_labels(e) != epoch_labels(0) for e in range(1, 6))
+        # val keeps file order
+        vbatch = next(iter(dm.val_dataloader()))
+        assert vbatch["label"].tolist() == [0, 1, 0]
+        assert dm.val_steps_per_epoch == 2
 
 
 class TestUint8Shipping:

@@ -1,0 +1,133 @@
+"""Trainer loop semantics: fractional batch limits (Lightning
+dataset-fraction behavior), frozen soft-label tool BERT, scheduler
+checkpoint state."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.helpers import tiny_batch, tiny_loss, tiny_text, tiny_vision
+
+
+class TestLimit:
+    def _items(self, n=10):
+        return list(range(n))
+
+    def test_int_limit_caps(self):
+        from medmoe_tpu.train.loop import _limit
+
+        assert list(_limit(self._items(), 3, None)) == [0, 1, 2]
+
+    def test_none_passthrough(self):
+        from medmoe_tpu.train.loop import _limit
+
+        assert list(_limit(self._items(), None, None)) == self._items()
+
+    def test_fraction_of_known_length(self):
+        from medmoe_tpu.train.loop import _limit
+
+        # Lightning semantics: fraction of the dataloader, at least 1 batch
+        assert list(_limit(self._items(), 0.5, 10)) == [0, 1, 2, 3, 4]
+        assert list(_limit(self._items(), 0.01, 10)) == [0]
+
+    def test_float_one_means_all(self):
+        from medmoe_tpu.train.loop import _limit
+
+        assert list(_limit(self._items(), 1.0, None)) == self._items()
+
+    def test_fraction_without_length_errors(self):
+        from medmoe_tpu.train.loop import _limit
+
+        with pytest.raises(ValueError, match="dataset fraction"):
+            list(_limit(self._items(), 0.05, None, "val"))
+
+
+class TestToolBert:
+    def _module(self):
+        from medmoe_tpu.config import DotDict
+        from medmoe_tpu.train.module import MedMoEPretrainingModule
+
+        return MedMoEPretrainingModule(
+            model=DotDict(dict(vision=tiny_vision(),
+                               text=tiny_text(freeze_bert=False))),
+            loss=tiny_loss(soft_label=True))
+
+    def test_soft_targets_use_frozen_snapshot(self):
+        mod = self._module()
+        assert mod.uses_tool_bert
+        batch, _ = tiny_batch()
+        params = mod.init_params(jax.random.PRNGKey(0), batch)
+        mod.capture_tool_params(params)
+        assert mod.tool_bert_params is not None
+
+        scores0, _ = mod._soft_targets(params, batch, mod.tool_bert_params)
+        # simulate training updating BERT
+        perturbed = jax.tree_util.tree_map(lambda x: x + 0.5, params)
+        scores_tool, _ = mod._soft_targets(perturbed, batch,
+                                           mod.tool_bert_params)
+        np.testing.assert_allclose(np.asarray(scores0),
+                                   np.asarray(scores_tool), atol=1e-6)
+        # without the tool snapshot the targets would drift
+        scores_live, _ = mod._soft_targets(perturbed, batch, None)
+        assert not np.allclose(np.asarray(scores0), np.asarray(scores_live),
+                               atol=1e-3)
+
+    def test_train_step_runs_with_tool(self):
+        from medmoe_tpu.train.state import TrainState
+        from medmoe_tpu.train.step import build_train_step
+
+        mod = self._module()
+        batch, _ = tiny_batch()
+        params = mod.init_params(jax.random.PRNGKey(0), batch)
+        mod.capture_tool_params(params)
+        state = TrainState.create(params, mod.make_optimizer())
+        step = build_train_step(mod)
+        state, metrics = step(state, batch, jax.random.PRNGKey(1))
+        assert np.isfinite(float(metrics["loss"]))
+        # snapshot itself must be untouched by the update
+        tool_after = mod.tool_bert_params
+        leaves_before = jax.tree_util.tree_leaves(tool_after)
+        assert all(np.all(np.isfinite(np.asarray(x)))
+                   for x in leaves_before)
+
+
+class TestSchedulerCheckpointState:
+    def test_state_round_trip(self):
+        from medmoe_tpu.train.optim import reduce_lr_on_plateau
+
+        sched = reduce_lr_on_plateau(patience=2)
+        lr = 1e-3
+        for v in [1.0, 1.1, 1.2]:          # 2 bad epochs after the best
+            lr = sched.step(v, lr)
+        saved = sched.state_dict()
+
+        resumed = reduce_lr_on_plateau(patience=2)
+        resumed.load_state_dict(saved)
+        # one more bad epoch trips the patience on BOTH trajectories
+        lr_cont = sched.step(1.3, 1e-3)
+        lr_res = resumed.step(1.3, 1e-3)
+        assert lr_cont == lr_res == pytest.approx(1e-4)
+
+    def test_trainer_checkpoint_extra(self):
+        from medmoe_tpu.train.loop import Trainer
+        from medmoe_tpu.train.optim import reduce_lr_on_plateau
+
+        t = Trainer(accelerator="cpu", devices=1)
+        assert t.checkpoint_extra() == {}
+        t.scheduler = reduce_lr_on_plateau()
+        t.scheduler.step(0.5, 1e-3)
+        extra = t.checkpoint_extra()
+        assert extra["scheduler"]["best"] == 0.5
+
+    def test_global_negatives_flag_sets_full_batch(self):
+        from medmoe_tpu.config import DotDict
+        from medmoe_tpu.train.module import MedMoEPretrainingModule
+
+        mod = MedMoEPretrainingModule(
+            model=DotDict(dict(vision=tiny_vision(), text=tiny_text())),
+            loss=tiny_loss(global_negatives=True, block_size=4))
+        assert mod.block_size is None      # full-global-batch negatives
+        mod2 = MedMoEPretrainingModule(
+            model=DotDict(dict(vision=tiny_vision(), text=tiny_text())),
+            loss=tiny_loss(global_negatives=False, block_size=4))
+        assert mod2.block_size == 4

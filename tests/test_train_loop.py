@@ -92,6 +92,15 @@ class TestTrainCLI:
             "trainer.limit_val_batches=1", f"ckpt_path={ckpt}"])
         assert np.isfinite(metrics["train/loss"])
 
+    def test_debug_limit_runs_nonzero_batches(self, tmp_path):
+        # round-1 regression: fractional limit_*_batches silently ran ZERO
+        # train/val batches; now fractions resolve against steps_per_epoch
+        metrics = _run_train(tmp_path, [
+            "debug=limit", "trainer.max_epochs=1",
+            "trainer.accumulate_grad_batches=1"])
+        assert "train/loss" in metrics and np.isfinite(metrics["train/loss"])
+        assert "val/loss" in metrics      # plateau scheduler gets its signal
+
     def test_csv_logger_written(self, tmp_path):
         _run_train(tmp_path, ["debug=fdr",
                               "trainer.accumulate_grad_batches=1"])
