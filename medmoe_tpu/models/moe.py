@@ -19,16 +19,27 @@ src/models/components/swin.py:11-117) for TPU:
     only the selected expert: bitwise-equal outputs and gradients at 1/K the
     FLOPs and memory.
 
+  Top-k routing (``MoEConfig.top_k``): ``topk_routing`` picks the k
+  highest-probability experts per sample and combines their outputs with
+  the renormalized router probabilities. k=1 renormalizes a single prob to
+  exactly 1.0, so every mode degenerates bit-exactly to the reference's
+  argmax-select (the chosen output is never scaled by its probability,
+  reference swin.py:100-108).
+
   Modes:
-    * ``gather``  — per-sample parameter gather; exact parity, K× cheaper.
-                    Default on a single chip.
-    * ``dense``   — literal all-experts-then-select (reference-shaped);
-                    kept for validation and as the EP building block.
-    * ``ep``      — expert-parallel: ``dense`` math with the stacked expert
-                    axis sharded over the mesh 'expert' axis; the one-hot
-                    combine contracts the expert axis so XLA inserts the
-                    psum over ICI. Per-device compute = (K/n_expert_shards)·B.
-    * ``topk``    — capacity dispatch + grouped matmuls (classic MoE form).
+    * ``gather``  — per-(sample, slot) parameter gather; exact parity,
+                    compute = k/K of dense. Default on a single chip.
+    * ``dense``   — all experts then a [B, K] weighted combine
+                    (reference-shaped); kept for validation.
+    * ``topk``    — capacity dispatch + grouped matmuls (classic MoE form):
+                    each of the B·k assignments lands in a [K, C] slot
+                    grid, compute scales with B·k·capacity_factor instead
+                    of B·K, overflow assignments drop.
+    * ``ep``      — expert-parallel: the ``topk`` dispatch with the expert
+                    bank's stacked K axis sharded over the mesh 'expert'
+                    axis; GSPMD turns the slot gathers/scatters into
+                    all-to-alls over ICI and per-device compute is
+                    B·k·capacity_factor/n_expert_shards.
 
   Measured on one v5e chip (full MedMoE step, B=32): gather 6.7k
   pairs/s > dense 5.1k > topk 3.5k. For MedMoE's per-IMAGE routing the
@@ -40,7 +51,7 @@ src/models/components/swin.py:11-117) for TPU:
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +125,22 @@ class ExpertBank(nn.Module):
 
     # ---- gather mode: params indexed per sample ------------------------
     def apply_gathered(self, pyramid: Sequence[jnp.ndarray],
-                       expert_idx: jnp.ndarray) -> jnp.ndarray:
+                       expert_idx: jnp.ndarray,
+                       weights: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """expert_idx [B] (top-1) or [B, k] with combine ``weights`` [B, k]
+        → weighted sum of per-slot gathered-expert outputs [B, P, D]."""
+        if expert_idx.ndim == 1:
+            return self._gather_one(pyramid, expert_idx)
+        k = expert_idx.shape[1]
+        out = None
+        for j in range(k):                   # k is tiny (1-2); static unroll
+            slot = self._gather_one(pyramid, expert_idx[:, j])
+            slot = slot * weights[:, j, None, None].astype(slot.dtype)
+            out = slot if out is None else out + slot
+        return out
+
+    def _gather_one(self, pyramid: Sequence[jnp.ndarray],
+                    expert_idx: jnp.ndarray) -> jnp.ndarray:
         """pyramid[s]: [B, P_s, D_s]; expert_idx: [B] int32 → [B, P, D]."""
         cfg = self.config
         dt = cfg.dtype
@@ -148,29 +174,45 @@ class ExpertBank(nn.Module):
         return jnp.einsum("bpse,bps->bpe", stacked, attn,
                           preferred_element_type=jnp.float32)  # [B, P, E] f32
 
-    # ---- topk mode: capacity dispatch + grouped matmuls ------------------
+    # ---- topk/ep mode: capacity dispatch + grouped matmuls ---------------
     def apply_dispatched(self, pyramid: Sequence[jnp.ndarray],
                          expert_idx: jnp.ndarray,
-                         capacity_factor: float) -> jnp.ndarray:
-        """Capacity-based sparse dispatch: gather each expert's samples into
-        a [K, C, ...] block, run ALL expert math as grouped (K-batched)
-        einsums on the MXU, scatter back. Compute scales with
-        B·capacity_factor instead of B·K. Capacity-overflow samples produce
-        zero output (token dropping — the standard MoE trade; parity mode is
-        'gather'). With the expert axis sharded this is the EP execution
-        form whose gathers/scatters XLA lowers to all-to-alls over ICI."""
+                         capacity_factor: float,
+                         weights: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
+        """Capacity-based sparse dispatch: every (sample, slot) assignment
+        lands in a [K, C, ...] block, ALL expert math runs as grouped
+        (K-batched) einsums on the MXU, slot outputs are scaled by their
+        combine weight and scatter-added back per sample. Compute scales
+        with B·k·capacity_factor instead of B·K. Capacity-overflow
+        assignments contribute zero (token dropping — the standard MoE
+        trade; parity mode is 'gather'). With the expert axis sharded over
+        the mesh this is the EP execution form: GSPMD lowers the slot
+        gathers/scatters to all-to-alls over ICI.
+
+        expert_idx: [B] (top-1) or [B, k_slots]; weights: matching combine
+        weights (None → 1.0 per slot, the top-1 parity case)."""
         cfg = self.config
         dt = cfg.dtype
         k = cfg.num_experts
-        b = expert_idx.shape[0]
+        if expert_idx.ndim == 1:
+            expert_idx = expert_idx[:, None]
+        b, k_slots = expert_idx.shape
+        if weights is None:
+            weights = jnp.ones((b, k_slots), jnp.float32)
         p_max = max(f.shape[1] for f in pyramid)
-        capacity = max(1, int(np.ceil(b * capacity_factor / k)))
+        capacity = max(1, int(np.ceil(b * k_slots * capacity_factor / k)))
         dispatch_idx, slot_valid, kept = make_dispatch(expert_idx, k,
                                                        capacity)
+        # dispatch_idx holds FLAT assignment ids (sample-major b·k_slots + j)
+        sample_for_slot = dispatch_idx // k_slots            # [K, C]
+        w_for_slot = jnp.take(weights.reshape(-1),
+                              dispatch_idx.reshape(-1),
+                              axis=0).reshape(k, capacity)   # [K, C]
 
         scale_feats = []
         for s, feats in enumerate(pyramid):
-            g = jnp.take(feats, dispatch_idx.reshape(-1), axis=0)
+            g = jnp.take(feats, sample_for_slot.reshape(-1), axis=0)
             g = g.reshape(k, capacity, feats.shape[1], feats.shape[2])
             h = jnp.einsum("kcpd,kde->kcpe", g.astype(dt),
                            self.proj_w[s].astype(dt),
@@ -193,27 +235,28 @@ class ExpertBank(nn.Module):
         fused = jnp.einsum("kcpse,kcps->kcpe", stacked, attn,
                            preferred_element_type=jnp.float32)  # [K,C,P,E]
 
-        # scatter back: invalid slots masked, dropped samples stay zero
-        fused = jnp.where(slot_valid[:, :, None, None], fused, 0.0)
+        # combine-weight scale, then scatter-add per sample: two slots of
+        # the same sample accumulate (the top-k weighted combine); invalid
+        # slots masked, dropped assignments contribute zero
+        fused = fused * (w_for_slot * slot_valid)[:, :, None, None]
         flat = fused.reshape(k * capacity, p_max, cfg.output_dim)
         out = jnp.zeros((b, p_max, cfg.output_dim), jnp.float32)
-        out = out.at[dispatch_idx.reshape(-1)].add(
-            jnp.where(slot_valid.reshape(-1)[:, None, None], flat, 0.0),
-            mode="drop")
+        out = out.at[sample_for_slot.reshape(-1)].add(flat, mode="drop")
         return out
 
-    # ---- dense / ep mode: all experts, one-hot combine ------------------
+    # ---- dense mode: all experts, weighted combine -----------------------
     def apply_dense(self, pyramid: Sequence[jnp.ndarray],
-                    expert_idx: jnp.ndarray) -> jnp.ndarray:
-        """Computes every expert then contracts the expert axis with a one-hot
-        (reference swin.py:105-108 shape). Under 'ep' the stacked axis k is
-        sharded over the mesh 'expert' axis and XLA turns the contraction
-        into a psum over ICI."""
+                    combine: jnp.ndarray) -> jnp.ndarray:
+        """Computes every expert then contracts the expert axis with a
+        [B, K] combine matrix (one-hot rows for top-1 — the reference
+        swin.py:105-108 all-then-select shape; renormalized top-k probs
+        otherwise). When the stacked axis k is sharded the contraction
+        lowers to a psum."""
         cfg = self.config
         dt = cfg.dtype
         k = cfg.num_experts
         p_max = max(f.shape[1] for f in pyramid)
-        onehot = jax.nn.one_hot(expert_idx, k, dtype=dt)    # [B, K]
+        combine = combine.astype(jnp.float32)               # [B, K]
 
         scale_feats = []
         for s, feats in enumerate(pyramid):
@@ -237,38 +280,58 @@ class ExpertBank(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1).astype(dt)   # [K, B, P, S]
         fused = jnp.einsum("kbpse,kbps->kbpe", stacked, attn,
                            preferred_element_type=jnp.float32).astype(dt)
-        # one-hot select (contracts k → psum over the 'expert' axis under ep)
-        return jnp.einsum("bk,kbpe->bpe", onehot, fused,
+        # combine contraction over k (psum over the 'expert' axis if sharded)
+        return jnp.einsum("bk,kbpe->bpe", combine, fused,
                           preferred_element_type=jnp.float32)
 
 
+def topk_routing(router_probs: jnp.ndarray, k: int
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[B, K] router probs → ([B, k] expert ids, [B, k] combine weights).
+
+    Combine weights are the top-k probabilities renormalized to sum to 1.
+    k=1 renormalizes a single probability to exactly 1.0 — the reference's
+    argmax-select semantics (the chosen expert output is NOT scaled by its
+    probability, reference swin.py:100-108) fall out as the special case.
+    """
+    vals, idx = jax.lax.top_k(router_probs, k)
+    weights = vals / jnp.maximum(jnp.sum(vals, axis=-1, keepdims=True), 1e-9)
+    return idx.astype(jnp.int32), weights.astype(jnp.float32)
+
+
 def make_dispatch(expert_idx: jnp.ndarray, num_experts: int, capacity: int):
-    """Capacity-based top-1 dispatch plan (the classic MoE dispatch):
+    """Capacity-based dispatch plan (the classic MoE dispatch), top-k aware:
 
-    expert_idx [B] → (dispatch_idx [K, C] sample index per slot,
-                      slot_valid [K, C] bool,
-                      kept [B] bool — False for capacity-dropped samples).
+    expert_idx [B] or [B, k] → (dispatch_idx [K, C] FLAT assignment index
+                                per slot (sample-major: b·k + slot; equal to
+                                the sample index when k=1),
+                                slot_valid [K, C] bool,
+                                kept — bool, same shape as expert_idx,
+                                False for capacity-dropped assignments).
 
-    Position-in-expert is the running count of earlier samples routed to the
-    same expert (exclusive cumsum over the one-hot matrix) — deterministic,
+    Position-in-expert is the running count of earlier assignments routed to
+    the same expert (exclusive cumsum over the one-hot matrix), walking the
+    flattened [B·k] assignment list in sample-major order — deterministic,
     order-preserving, all static shapes.
     """
-    b = expert_idx.shape[0]
-    onehot = jax.nn.one_hot(expert_idx, num_experts, dtype=jnp.int32)  # [B,K]
-    position = jnp.cumsum(onehot, axis=0) - onehot               # [B, K]
-    pos_in_expert = jnp.sum(position * onehot, axis=1)           # [B]
+    in_shape = expert_idx.shape
+    flat_expert = expert_idx.reshape(-1)                         # [B·k]
+    n = flat_expert.shape[0]
+    onehot = jax.nn.one_hot(flat_expert, num_experts, dtype=jnp.int32)
+    position = jnp.cumsum(onehot, axis=0) - onehot               # [B·k, K]
+    pos_in_expert = jnp.sum(position * onehot, axis=1)           # [B·k]
     kept = pos_in_expert < capacity
 
-    # scatter sample index into its (expert, slot) cell; dropped samples get
-    # an out-of-bounds slot so mode="drop" discards the write
-    flat_slot = jnp.where(kept, expert_idx * capacity + pos_in_expert,
+    # scatter assignment index into its (expert, slot) cell; dropped
+    # assignments get an out-of-bounds slot so mode="drop" discards them
+    flat_slot = jnp.where(kept, flat_expert * capacity + pos_in_expert,
                           num_experts * capacity)
     dispatch = jnp.full((num_experts * capacity,), -1, jnp.int32)
-    dispatch = dispatch.at[flat_slot].set(jnp.arange(b, dtype=jnp.int32),
+    dispatch = dispatch.at[flat_slot].set(jnp.arange(n, dtype=jnp.int32),
                                           mode="drop")
     dispatch_idx = dispatch.reshape(num_experts, capacity)
     slot_valid = dispatch_idx >= 0
-    return jnp.maximum(dispatch_idx, 0), slot_valid, kept
+    return jnp.maximum(dispatch_idx, 0), slot_valid, kept.reshape(in_shape)
 
 
 class MoE(nn.Module):
@@ -294,16 +357,21 @@ class MoE(nn.Module):
         logits = nn.Dense(cfg.num_experts, dtype=jnp.float32,
                           param_dtype=jnp.float32, name="router_fc2")(x)
         router_probs = jax.nn.softmax(logits, axis=-1)       # [B, K]
-        top_expert = jnp.argmax(router_probs, axis=-1)       # [B]
+        k_slots = max(int(cfg.top_k), 1)
+        top_idx, top_w = topk_routing(router_probs, k_slots)  # [B,k] ×2
 
         bank = ExpertBank(cfg, name="experts")
         if cfg.mode == "gather":
-            fused = bank.apply_gathered(pyramid, top_expert)
-        elif cfg.mode in ("dense", "ep"):
-            fused = bank.apply_dense(pyramid, top_expert)
-        elif cfg.mode == "topk":
-            fused = bank.apply_dispatched(pyramid, top_expert,
-                                          cfg.capacity_factor)
+            fused = bank.apply_gathered(pyramid, top_idx, top_w)
+        elif cfg.mode == "dense":
+            # [B, K] combine: one-hot rows at k=1, renormalized probs at k>1
+            combine = jnp.sum(
+                jax.nn.one_hot(top_idx, cfg.num_experts, dtype=jnp.float32)
+                * top_w[..., None], axis=1)
+            fused = bank.apply_dense(pyramid, combine)
+        elif cfg.mode in ("ep", "topk"):
+            fused = bank.apply_dispatched(pyramid, top_idx,
+                                          cfg.capacity_factor, top_w)
         else:
             raise ValueError(f"unknown moe mode {cfg.mode!r}")
 

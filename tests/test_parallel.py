@@ -50,6 +50,45 @@ class TestExpertParallel:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
 
+    def test_ep_top2_matches_replicated(self):
+        """Top-2 capacity dispatch sharded over the expert axis ≡ the same
+        dispatch unsharded (BASELINE config 2: top-2 router under EP)."""
+        from medmoe_tpu.config import DotDict
+        from medmoe_tpu.parallel.mesh import make_mesh
+        from medmoe_tpu.parallel.sharding import param_shardings
+        from medmoe_tpu.train.module import MedMoEPretrainingModule
+        from medmoe_tpu.train.state import TrainState
+        from medmoe_tpu.train.step import build_train_step
+
+        mod = MedMoEPretrainingModule(
+            model=DotDict(dict(vision=tiny_vision(moe_mode="ep",
+                                                  num_experts=4,
+                                                  router_top_k=2,
+                                                  capacity_factor=2.0),
+                               text=tiny_text())),
+            loss=tiny_loss())
+        batch, _ = tiny_batch(batch_size=8)
+        params = jax.jit(mod.init_params)(jax.random.PRNGKey(0), batch)
+        tx = mod.make_optimizer(gradient_clip_val=0.25)
+
+        state1 = TrainState.create(params, tx)
+        step1 = build_train_step(mod, accum_steps=1, donate=False)
+        state1, m1 = step1(state1, batch, jax.random.PRNGKey(1))
+
+        mesh = make_mesh(data=4, expert=2)
+        shardings = param_shardings(params, mesh, expert_parallel=True)
+        placed = jax.tree_util.tree_map(jax.device_put, params, shardings)
+        state2 = TrainState.create(placed, tx)
+        step2 = build_train_step(mod, mesh=mesh, accum_steps=1, donate=False)
+        state2, m2 = step2(state2, batch, jax.random.PRNGKey(1))
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                        jax.tree_util.tree_leaves(state2.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)
+
     def test_expert_params_actually_sharded(self):
         from medmoe_tpu.config import DotDict
         from medmoe_tpu.parallel.mesh import make_mesh

@@ -92,6 +92,17 @@ class TestTrainCLI:
             "trainer.limit_val_batches=1", f"ckpt_path={ckpt}"])
         assert np.isfinite(metrics["train/loss"])
 
+    def test_moe_single_modality_top2_trains(self, tmp_path):
+        """BASELINE config 2: top-2 router, capacity dispatch (moe_mode=
+        topk). Round-1 silently ran top-1 under this config."""
+        from medmoe_tpu.cli.train import main
+
+        overrides = (["experiment=moe_single_modality"] + TINY_OVERRIDES
+                     + [f"paths.root_dir={tmp_path}", "debug=fdr",
+                        "trainer.accumulate_grad_batches=1"])
+        metrics = main(overrides)
+        assert np.isfinite(metrics["train/loss"])
+
     def test_debug_limit_runs_nonzero_batches(self, tmp_path):
         # round-1 regression: fractional limit_*_batches silently ran ZERO
         # train/val batches; now fractions resolve against steps_per_epoch
