@@ -250,18 +250,8 @@ class UnimedDataModule(BaseDataModule):
             process_index=jax.process_index(),
         )
 
-    def _decode_stream(self, reader: WebDatasetReader, epoch: int,
-                       train: bool) -> Iterator:
-        transform = ImageTransform(self.image_size, train=train,
-                                   seed=self.seed + epoch,
-                                   normalize_output=not self.emit_uint8)
-        native_lib = None
-        if self.use_native and not self.emit_uint8:
-            # native path emits normalized f32; uint8 shipping uses the
-            # python resize + on-device normalize instead
-            from medmoe_tpu.data import native as native_mod
-
-            native_lib = native_mod if native_mod.available() else None
+    def _raw_stream(self, reader: WebDatasetReader, epoch: int) -> Iterator:
+        """(img_bytes, caption, label) triples — the cheap host work."""
         rng = random.Random(self.seed * 1_000_003 + epoch)
         for sample in reader.samples(epoch):
             img_bytes = sample.get("jpg") or sample.get("png") \
@@ -269,17 +259,91 @@ class UnimedDataModule(BaseDataModule):
             txt = sample.get("txt")
             if img_bytes is None or txt is None:
                 continue
+            caption = sample_caption(txt.decode("utf-8", "replace"), rng)
+            label = int(sample.get("cls", b"0").decode() or 0)
+            yield bytes(img_bytes), caption, label
+
+    def _native(self):
+        if self.use_native and not self.emit_uint8:
+            # native path emits normalized f32; uint8 shipping uses the
+            # python resize + on-device normalize instead
+            from medmoe_tpu.data import native as native_mod
+
+            if native_mod.available():
+                return native_mod
+        return None
+
+    def _decode_stream(self, reader: WebDatasetReader, epoch: int,
+                       train: bool) -> Iterator:
+        """Decode: serial when num_workers=0, otherwise chunked parallel
+        decode — the native C++ thread pool (mn_decode_batch,
+        native/medmoe_native.cpp) when built, a python thread pool around
+        the PIL transform otherwise. The reference's analogue is the
+        5-worker torch DataLoader (configs/data/unimed.yaml)."""
+        transform = ImageTransform(self.image_size, train=train,
+                                   seed=self.seed + epoch,
+                                   normalize_output=not self.emit_uint8)
+        native_lib = self._native()
+        raw = self._raw_stream(reader, epoch)
+
+        if self.num_workers and self.num_workers > 0:
+            yield from self._parallel_decode(raw, transform, native_lib)
+            return
+
+        for img_bytes, caption, label in raw:
             try:
                 if native_lib is not None:
                     img = native_lib.decode_resize_normalize(
-                        bytes(img_bytes), self.image_size)
+                        img_bytes, self.image_size)
                 else:
                     img = transform(decode_image(img_bytes))
             except Exception:
                 continue          # nothrow (reference log_and_continue)
-            caption = sample_caption(txt.decode("utf-8", "replace"), rng)
-            label = int(sample.get("cls", b"0").decode() or 0)
             yield img, caption, label
+
+    def _parallel_decode(self, raw: Iterator, transform: ImageTransform,
+                         native_lib) -> Iterator:
+        """Decode ``num_workers``-wide over batch-sized chunks. Failed
+        decodes are dropped (nothrow); downstream _batched re-packs to
+        exact batch_size."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        chunk_size = max(self.batch_size, self.num_workers)
+
+        def decode_py(item):
+            try:
+                return transform(decode_image(item[0]))
+            except Exception:
+                return None
+
+        def decoded(chunk):
+            if native_lib is not None:
+                imgs, ok = native_lib.decode_batch(
+                    [c[0] for c in chunk], self.image_size,
+                    num_threads=self.num_workers)
+                for i, (_, caption, label) in enumerate(chunk):
+                    if ok[i]:
+                        yield imgs[i], caption, label
+            else:
+                for img, (_, caption, label) in zip(
+                        pool.map(decode_py, chunk), chunk):
+                    if img is not None:
+                        yield img, caption, label
+
+        pool = None if native_lib is not None \
+            else ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            chunk: List = []
+            for item in raw:
+                chunk.append(item)
+                if len(chunk) >= chunk_size:
+                    yield from decoded(chunk)
+                    chunk = []
+            if chunk:
+                yield from decoded(chunk)
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
         reader = self._reader(self.train_data_paths, train=True)

@@ -254,15 +254,17 @@ class Trainer:
                 n_pairs += int(np.prod(
                     jax.tree_util.tree_leaves(device_batch)[0].shape[:1]))
 
+                # hot loop stays async: metrics are buffered as DEVICE
+                # scalars (no blocking float()); the host only syncs every
+                # log_every_n_steps and once per epoch for aggregation
+                for k, v in metrics.items():
+                    epoch_metrics.setdefault(f"train/{k}", []).append(v)
                 if global_step % self.log_every_n_steps == 0:
                     host = {f"train/{k}": float(v)
                             for k, v in metrics.items()}
                     host["lr"] = get_learning_rate(self.state.opt_state)
                     host["epoch"] = epoch
                     self._log(host, global_step)
-                for k, v in metrics.items():
-                    epoch_metrics.setdefault(f"train/{k}", []).append(
-                        float(v))
 
             # flush leftover micro-batches at epoch end (Lightning steps the
             # optimizer on a partial accumulation window too)
@@ -276,18 +278,20 @@ class Trainer:
                                                  sub)
                 global_step += 1
                 for k, v in metrics.items():
-                    epoch_metrics.setdefault(f"train/{k}", []).append(
-                        float(v))
+                    epoch_metrics.setdefault(f"train/{k}", []).append(v)
 
-            # validation
-            agg = {k: float(np.mean(v)) for k, v in epoch_metrics.items()}
+            # one device→host pull for the whole epoch's buffered metrics;
+            # this also drains the async dispatch queue, so train_time below
+            # is honest wall-clock for the train phase only (val excluded)
+            agg = {k: float(np.mean(jax.device_get(v)))
+                   for k, v in epoch_metrics.items()}
+            train_time = time.time() - t_epoch
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 val = self.validate(datamodule, eval_step)
                 agg.update(val)
-            dt = time.time() - t_epoch
-            agg["epoch_time_s"] = dt
-            if dt > 0 and n_pairs:
-                agg["pairs_per_sec"] = n_pairs / dt
+            agg["epoch_time_s"] = time.time() - t_epoch
+            if train_time > 0 and n_pairs:
+                agg["pairs_per_sec"] = n_pairs / train_time
             self.metrics_history.append(agg)
             self._log(agg, global_step)
             log.info(f"epoch {epoch}: " + ", ".join(
@@ -334,8 +338,9 @@ class Trainer:
                             "val"):
             metrics = eval_step(self.state.params, batch)
             for k, v in metrics.items():
-                sums.setdefault(f"val/{k}", []).append(float(v))
-        return {k: float(np.mean(v)) for k, v in sums.items()}
+                sums.setdefault(f"val/{k}", []).append(v)
+        return {k: float(np.mean(jax.device_get(v)))
+                for k, v in sums.items()}
 
     def test(self, module, datamodule,
              ckpt_path: Optional[str] = None) -> Dict[str, float]:
@@ -356,7 +361,8 @@ class Trainer:
                             "test"):
             metrics = eval_step(self.state.params, batch)
             for k, v in metrics.items():
-                sums.setdefault(f"test/{k}", []).append(float(v))
-        out = {k: float(np.mean(v)) for k, v in sums.items()}
+                sums.setdefault(f"test/{k}", []).append(v)
+        out = {k: float(np.mean(jax.device_get(v)))
+               for k, v in sums.items()}
         self._log(out, int(self.state.step))
         return out

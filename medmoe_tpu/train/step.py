@@ -96,6 +96,8 @@ def build_train_step(module, mesh: Optional[Mesh] = None,
         return jitted(state, batch, rng,
                       getattr(module, "tool_bert_params", None))
 
+    step.lower = lambda state, batch, rng: jitted.lower(
+        state, batch, rng, getattr(module, "tool_bert_params", None))
     return step
 
 

@@ -201,6 +201,30 @@ class TestDataModules:
         all_labels = np.concatenate([b["label"] for b in batches])
         assert set(all_labels.tolist()) <= set(range(6))
 
+    def test_unimed_parallel_decode_matches_serial(self, tmp_path):
+        """num_workers>0 routes through the thread-pool chunk decoder
+        (reference: 5-worker DataLoader) — same samples, same order."""
+        from medmoe_tpu.data.datamodules import UnimedDataModule
+
+        rng = np.random.RandomState(1)
+        pattern = str(tmp_path / "w-%06d.tar")
+        with ShardWriter(pattern, maxcount=8) as w:
+            for i in range(12):
+                img = (rng.rand(16, 16, 3) * 255).astype(np.uint8)
+                w.write({"__key__": f"{i:05d}", "jpg": _png_bytes(img),
+                         "txt": f"plain caption {i}", "cls": i % 6})
+        kw = dict(train_data_paths=str(tmp_path / "w-{000000..000001}.tar"),
+                  batch_size=4, image_size=32, max_length=12,
+                  resampled=False, shuffle_buffer=0)
+        serial = list(UnimedDataModule(num_workers=0, **kw)
+                      .train_dataloader(0))
+        pooled = list(UnimedDataModule(num_workers=3, **kw)
+                      .train_dataloader(0))
+        assert len(serial) == len(pooled) == 3
+        for a, b in zip(serial, pooled):
+            np.testing.assert_array_equal(a["image"], b["image"])
+            np.testing.assert_array_equal(a["label"], b["label"])
+
 
 class TestMasking:
     def test_beit_block_masking(self):
