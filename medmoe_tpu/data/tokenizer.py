@@ -216,9 +216,20 @@ def build_vocab(corpus: Iterable[str], max_size: int = 8000,
     return vocab
 
 
+def fixture_vocab_path(name: str = "bio_clinical_bert") -> str:
+    """Path of a vocab fixture shipped with the package (offline stand-in
+    for the Bio_ClinicalBERT vocab; see scripts/make_vocab_fixture.py)."""
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "fixtures", f"{name}_vocab.txt")
+
+
 def load_or_build_tokenizer(vocab_path: Optional[str] = None,
                             corpus: Optional[Iterable[str]] = None,
                             lowercase: bool = False) -> WordPieceTokenizer:
+    """Resolution order: explicit vocab file > packaged fixture
+    ('fixture:<name>' paths) > corpus-derived toy vocab."""
+    if vocab_path and vocab_path.startswith("fixture:"):
+        vocab_path = fixture_vocab_path(vocab_path.split(":", 1)[1])
     if vocab_path and os.path.exists(vocab_path):
         return WordPieceTokenizer.from_vocab_file(vocab_path, lowercase)
     if corpus is not None:

@@ -54,26 +54,72 @@ def encode_images(module, params, batches: Iterable[Dict[str, np.ndarray]]):
         yield encode(params, batch["image"]), batch.get("label")
 
 
+def _average_ranks(x: np.ndarray) -> np.ndarray:
+    """1-based ranks with ties assigned their average rank."""
+    order = np.argsort(x, kind="mergesort")
+    ranks = np.empty(len(x), np.float64)
+    sx = x[order]
+    i = 0
+    while i < len(x):
+        j = i
+        while j + 1 < len(x) and sx[j + 1] == sx[i]:
+            j += 1
+        ranks[order[i:j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    return ranks
+
+
+def binary_auroc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """Rank-based (Mann-Whitney U) AUROC; NaN if one class is absent."""
+    pos = np.asarray(labels) > 0.5
+    n_pos = int(pos.sum())
+    n_neg = int((~pos).sum())
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    r = _average_ranks(np.asarray(scores, np.float64))
+    u = r[pos].sum() - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
 def zero_shot_classification(module, params, tokenizer,
                              batches: Iterable[Dict[str, np.ndarray]],
                              class_names: Sequence[str],
                              prompt_template: str = "this is a photo of {}",
                              max_length: int = 25) -> Dict[str, float]:
-    """Prompt-based classification accuracy (paper Table 1 protocol)."""
+    """Prompt-based classification (paper Table 1 protocol).
+
+    Single-label targets → argmax accuracy. Multilabel targets (CheXpert's
+    5 competition tasks, reference chexpert.py:119-141) → per-task AUROC
+    over the prompt-similarity scores (the BASELINE 'zero-shot CheXpert
+    AUC' metric) plus argmax-vs-argmax accuracy.
+    """
     class_emb = encode_class_prompts(module, params, tokenizer, class_names,
                                      prompt_template, max_length)
-    correct = 0
-    total = 0
+    all_sims: List[np.ndarray] = []
+    all_labels: List[np.ndarray] = []
     for img_emb, labels in encode_images(module, params, batches):
-        sims = np.asarray(img_emb @ class_emb.T)            # [B, C]
-        pred = sims.argmax(-1)
-        labels = np.asarray(labels)
-        if labels.ndim > 1:
-            labels = labels.argmax(-1)                       # one/multi-hot
-        correct += int((pred == labels).sum())
-        total += len(pred)
-    return {"zero_shot/accuracy": correct / max(total, 1),
-            "zero_shot/n": float(total)}
+        all_sims.append(np.asarray(img_emb @ class_emb.T))   # [B, C]
+        all_labels.append(np.asarray(labels))
+    sims = np.concatenate(all_sims)
+    labels = np.concatenate(all_labels)
+
+    out: Dict[str, float] = {"zero_shot/n": float(len(sims))}
+    if labels.ndim > 1 and labels.shape[1] == len(class_names):
+        # multilabel: AUC per task + macro mean
+        aucs = []
+        for c, name in enumerate(class_names):
+            auc = binary_auroc(sims[:, c], labels[:, c])
+            out[f"zero_shot/auroc/{name}"] = auc
+            if np.isfinite(auc):
+                aucs.append(auc)
+        out["zero_shot/auroc"] = float(np.mean(aucs)) if aucs \
+            else float("nan")
+        hard = labels.argmax(-1)
+    else:
+        hard = labels.argmax(-1) if labels.ndim > 1 else labels
+    out["zero_shot/accuracy"] = float((sims.argmax(-1) == hard).mean()) \
+        if len(sims) else 0.0
+    return out
 
 
 def image_text_retrieval(module, params,
@@ -140,6 +186,16 @@ def run_eval_zs(cfg, module=None, datamodule=None,
 
     params = jax.jit(module.init_params)(jax.random.PRNGKey(cfg.get("seed")
                                                             or 0), init_batch)
+    if cfg.get("medclip_ckpt"):
+        # torch MedCLIP weights → converted into both towers (reference
+        # med_moe.py:40-62); exercises the convert→load→zero-shot gate
+        from medmoe_tpu.models.convert import load_medclip_checkpoint
+
+        vision = cfg.model.model.vision
+        params = load_medclip_checkpoint(
+            params, cfg.medclip_ckpt,
+            depths=tuple(vision.get("swin_depths", (2, 2, 6, 2))),
+            num_layers=int(cfg.model.model.text.num_layers))
     if cfg.get("ckpt_path"):
         params = load_params(cfg.ckpt_path, params)
 

