@@ -58,6 +58,7 @@ class TestCheXpertData:
 
 
 class TestClassificationCLI:
+    @pytest.mark.slow
     def test_linear_probe_training(self, tmp_path):
         from medmoe_tpu.cli.train import main
 

@@ -42,6 +42,7 @@ class TestLimit:
             list(_limit(self._items(), 0.05, None, "val"))
 
 
+@pytest.mark.slow
 class TestToolBert:
     def _module(self):
         from medmoe_tpu.config import DotDict

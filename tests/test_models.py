@@ -97,6 +97,7 @@ class TestMedMoEForward:
         assert any(float(jnp.abs(g).max()) > 0.0 for g in vision_grads)
 
 
+@pytest.mark.slow
 class TestTrainStep:
     def test_loss_decreases(self, module_and_params):
         from medmoe_tpu.train.state import TrainState

@@ -4,6 +4,7 @@ torch, routing/selection semantics."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from medmoe_tpu.models.moe import (MoE, MoEConfig, ExpertBank,
                                    linear_interp_matrix)
@@ -49,6 +50,7 @@ class TestModeEquivalence:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
 
+    @pytest.mark.slow
     def test_gradients_match(self):
         rng = np.random.RandomState(1)
         pyr = _pyramid(rng)
@@ -70,6 +72,7 @@ class TestModeEquivalence:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-4, atol=1e-5)
 
+    @pytest.mark.slow
     def test_unselected_experts_zero_grad(self):
         rng = np.random.RandomState(2)
         pyr = _pyramid(rng, b=2)

@@ -31,6 +31,7 @@ class TestGloriaSimilarityKernel:
             / np.maximum(np.abs(np.asarray(ref)), 1.0)
         assert rel.max() < 2e-3        # bf16 MXU inputs, f32 accumulation
 
+    @pytest.mark.slow
     def test_gradients_via_custom_vjp(self, data):
         from medmoe_tpu.ops.pallas.gloria_attention import (
             _sim_xla, gloria_similarity_pallas)

@@ -8,6 +8,9 @@ import pytest
 
 from tests.helpers import tiny_batch, tiny_module, tiny_vision, tiny_text, tiny_loss
 
+# 8-device mesh train steps compile for minutes on the 1-core CPU host
+pytestmark = pytest.mark.slow
+
 
 class TestExpertParallel:
     def test_ep_sharding_matches_replicated(self):

@@ -6,6 +6,9 @@ import os
 import numpy as np
 import pytest
 
+# full Trainer/CLI runs: minutes on the 1-core CPU host → opt-in via -m slow
+pytestmark = pytest.mark.slow
+
 TINY_OVERRIDES = [
     "data=synthetic",
     "data.batch_size=4",

@@ -135,6 +135,7 @@ class TestAuroc:
         assert binary_auroc(np.ones(10), np.arange(10) % 2) == 0.5
 
 
+@pytest.mark.slow
 class TestConvertLoadZeroShotGate:
     def test_eval_zs_chexpert_from_medclip_ckpt(self, tmp_path):
         """cli.eval_zs produces CheXpert AUROC + accuracy from a converted
