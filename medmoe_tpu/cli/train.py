@@ -111,8 +111,27 @@ def train(cfg) -> Tuple[Dict[str, float], Dict]:
                      "datamodule": datamodule}
 
 
-def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
-    overrides = list(argv if argv is not None else sys.argv[1:])
+def _expand_multirun(overrides: List[str]) -> List[List[str]]:
+    """Hydra ``--multirun`` comma-sweep syntax: ``key=a,b,c`` values fan out
+    into the cartesian product of jobs. Bracketed list values
+    (``depths=[1,1]``) are single values, not sweeps."""
+    import itertools
+
+    fixed: List[str] = []
+    swept: List[List[Tuple[str, str]]] = []
+    for o in overrides:
+        key, sep, val = o.partition("=")
+        if sep and "," in val and not val.lstrip("+~").startswith("["):
+            swept.append([(key, v) for v in val.split(",")])
+        else:
+            fixed.append(o)
+    if not swept:
+        return [fixed]
+    return [fixed + [f"{k}={v}" for k, v in combo]
+            for combo in itertools.product(*swept)]
+
+
+def _run_one(overrides: List[str]) -> Dict[str, float]:
     cfg = compose("train", overrides)
     extras(cfg)
     if cfg.get("hparams_search"):
@@ -125,6 +144,37 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     if metric_name:
         get_metric_value(metrics, metric_name)
     return metrics
+
+
+def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
+    overrides = list(argv if argv is not None else sys.argv[1:])
+    multirun = False
+    for flag in ("-m", "--multirun"):
+        while flag in overrides:
+            overrides.remove(flag)
+            multirun = True
+    if not multirun:
+        return _run_one(overrides)
+
+    # --multirun: one process runs the sweep jobs sequentially; a failed
+    # job is logged and skipped so the multirun survives it (the reference
+    # gets this from @task_wrapper + submitit, utils.py:147-175)
+    jobs = _expand_multirun(overrides)
+    log.info(f"multirun: {len(jobs)} jobs")
+    out: Dict[str, float] = {"multirun/n_jobs": float(len(jobs)),
+                             "multirun/n_failed": 0.0}
+    for i, job in enumerate(jobs):
+        log.info(f"multirun job {i}: {job}")
+        try:
+            metrics = _run_one(job)
+        except Exception as e:
+            log.warning(f"multirun job {i} FAILED: {e!r}")
+            out["multirun/n_failed"] += 1.0
+            continue
+        for k, v in metrics.items():
+            if isinstance(v, (int, float)):
+                out[f"job{i}/{k}"] = float(v)
+    return out
 
 
 if __name__ == "__main__":

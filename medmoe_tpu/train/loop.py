@@ -79,6 +79,7 @@ class Trainer:
                  default_root_dir: str = ".",
                  callbacks: Optional[List] = None,
                  loggers: Optional[List] = None,
+                 checkpoint_on_signal: bool = True,
                  seed: int = 0):
         self.min_epochs = min_epochs
         self.max_epochs = max_epochs
@@ -113,6 +114,50 @@ class Trainer:
         self.scheduler = None
         self.best_model_path: Optional[str] = None
         self.metrics_history: List[Dict[str, float]] = []
+        self.checkpoint_on_signal = checkpoint_on_signal
+        self._preempt_requested = False
+        self.interrupted = False
+
+    # ------------------------------------------------------------------
+    def request_preemption(self) -> None:
+        """Checkpoint-and-stop at the next step boundary (the analogue of
+        the reference's submitit SIGUSR1@90 + requeue elasticity,
+        configs/hydra/launcher/base_submitit_slurm.yaml:25)."""
+        self._preempt_requested = True
+
+    def _install_signal_handlers(self) -> None:
+        if not self.checkpoint_on_signal:
+            return
+        import signal
+
+        def handler(signum, frame):
+            log.info(f"received signal {signum}: will checkpoint and stop "
+                     f"at the next step boundary")
+            self.request_preemption()
+
+        try:
+            signal.signal(signal.SIGTERM, handler)
+            if hasattr(signal, "SIGUSR1"):
+                signal.signal(signal.SIGUSR1, handler)
+        except ValueError:
+            pass    # not the main thread (e.g. under a test runner)
+
+    def _preempt_checkpoint(self, epoch: int) -> str:
+        """Save a resumable 'last' checkpoint mid-epoch; the epoch sidecar
+        points at the PREVIOUS epoch so resume re-runs the interrupted one
+        (data iteration is epoch-seeded, steps are not replayable)."""
+        from medmoe_tpu.utils.checkpoint import save_checkpoint
+
+        dirpath = None
+        for cb in self.callbacks:
+            dirpath = getattr(cb, "dirpath", None) or dirpath
+        path = os.path.join(dirpath or os.path.join(self.default_root_dir,
+                                                    "checkpoints"), "last")
+        save_checkpoint(path, self.state,
+                        extra={"epoch": epoch - 1, "preempted": True,
+                               **self.checkpoint_extra()})
+        log.info(f"preemption checkpoint written to {path}")
+        return path
 
     # ------------------------------------------------------------------
     def checkpoint_extra(self) -> Dict[str, Any]:
@@ -145,6 +190,7 @@ class Trainer:
     def fit(self, module, datamodule, ckpt_path: Optional[str] = None) -> None:
         if self.detect_anomaly:
             jax.config.update("jax_debug_nans", True)
+        self._install_signal_handlers()
         self.module = module
         rng = jax.random.PRNGKey(self.seed)
 
@@ -265,6 +311,15 @@ class Trainer:
                     host["lr"] = get_learning_rate(self.state.opt_state)
                     host["epoch"] = epoch
                     self._log(host, global_step)
+                if self._preempt_requested:
+                    break
+
+            if self._preempt_requested:
+                self._preempt_checkpoint(epoch)
+                self.interrupted = True
+                log.info("stopping after preemption checkpoint "
+                         f"(epoch {epoch}, step {global_step})")
+                break
 
             # flush leftover micro-batches at epoch end (Lightning steps the
             # optimizer on a partial accumulation window too)
