@@ -73,25 +73,75 @@ class MoEConfig:
     dtype: jnp.dtype = jnp.bfloat16
 
 
-def linear_interp_matrix(src_len: int, dst_len: int) -> np.ndarray:
-    """Static [src_len, dst_len] matrix reproducing
-    torch.nn.functional.interpolate(mode='linear', align_corners=False).
-
+def _interp_coords(src_len: int, dst_len: int):
+    """Static gather indices + blend weights reproducing
+    torch.nn.functional.interpolate(mode='linear', align_corners=False):
     y[j] = (1-w_j)·x[lo_j] + w_j·x[hi_j] with
-    in_coord = (j + 0.5)·(src/dst) - 0.5, clamped to [0, src-1].
-    Expressed as a matrix so interpolation becomes one (tiny) matmul that
-    fuses into the surrounding einsums on the MXU.
-    """
+    in_coord = (j + 0.5)·(src/dst) - 0.5, clamped to [0, src-1]."""
     scale = src_len / dst_len
     coord = (np.arange(dst_len) + 0.5) * scale - 0.5
     coord = np.clip(coord, 0.0, src_len - 1)
-    lo = np.floor(coord).astype(np.int64)
+    lo = np.floor(coord).astype(np.int32)
     hi = np.minimum(lo + 1, src_len - 1)
     w = (coord - lo).astype(np.float32)
+    return lo, hi, w
+
+
+def linear_interp_matrix(src_len: int, dst_len: int) -> np.ndarray:
+    """The same interpolation as a dense [src_len, dst_len] matrix — kept
+    as the parity oracle for tests; the hot path uses interp_patches."""
+    lo, hi, w = _interp_coords(src_len, dst_len)
     mat = np.zeros((src_len, dst_len), dtype=np.float32)
     mat[lo, np.arange(dst_len)] += 1.0 - w
     mat[hi, np.arange(dst_len)] += w
     return mat
+
+
+def interp_patches(h: jnp.ndarray, dst_len: int, axis: int) -> jnp.ndarray:
+    """Linear patch-axis interpolation without the dense matmul.
+
+    Linear interpolation has exactly two nonzeros per output column, so the
+    round-1 dense-matmul form burned O(P·Q·E) MXU FLOPs (≈12 TFLOP/step at
+    B=32 for the stage-1 784→3136 resize alone — the bulk of the whole
+    training step) for an O(Q·E) memory-bound operation. TPU gathers along
+    a non-lane axis are slow too, so for the integer upsample ratios the
+    pyramid actually uses (4×/16×/64×) this exploits the phase structure:
+    output q·r+s reads x[q + c_s] and x[q + c_s + 1] with PHASE-CONSTANT
+    c_s ∈ {-1, 0} and weight w_s, i.e. edge-padded shifted copies of x
+    blended per phase — pure vectorized VPU ops. Edge-padding reproduces
+    torch's coordinate clamping EXACTLY (the blend of two identical edge
+    values is the edge value). Identity resizes are a no-op; non-integer
+    ratios fall back to the dense-matrix oracle.
+    """
+    src = h.shape[axis]
+    if src == dst_len:
+        return h
+    if dst_len % src != 0:
+        mat = jnp.asarray(linear_interp_matrix(src, dst_len), dtype=h.dtype)
+        moved = jnp.moveaxis(h, axis, -1)
+        out = jnp.einsum("...p,pq->...q", moved.astype(jnp.float32),
+                         mat.astype(jnp.float32))
+        return jnp.moveaxis(out, -1, axis).astype(h.dtype)
+
+    r = dst_len // src
+    offs = (np.arange(r) + 0.5) / r - 0.5
+    c = np.floor(offs).astype(np.int64)              # -1 or 0 per phase
+    w = (offs - c).astype(np.float32)                # phase-constant weight
+
+    h = jnp.moveaxis(h, axis, -2)                    # [..., src, E]
+    x = h
+    x_m1 = jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
+    x_p1 = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
+
+    phases = []
+    for s in range(r):
+        lo_s, hi_s = (x_m1, x) if c[s] == -1 else (x, x_p1)
+        blend = (lo_s.astype(jnp.float32) * (1.0 - float(w[s]))
+                 + hi_s.astype(jnp.float32) * float(w[s]))
+        phases.append(blend.astype(h.dtype))
+    out = jnp.stack(phases, axis=-2)                 # [..., src, r, E]
+    out = out.reshape(out.shape[:-3] + (src * r, out.shape[-1]))
+    return jnp.moveaxis(out, -2, axis)
 
 
 class ExpertBank(nn.Module):
@@ -153,11 +203,7 @@ class ExpertBank(nn.Module):
             h = jnp.einsum("bpd,bde->bpe", feats.astype(dt), w,
                            preferred_element_type=jnp.float32)
             h = jax.nn.relu(h + b[:, None, :].astype(jnp.float32)).astype(dt)
-            interp = jnp.asarray(linear_interp_matrix(feats.shape[1], p_max),
-                                 dtype=dt)
-            h = jnp.einsum("bpe,pq->bqe", h, interp,
-                           preferred_element_type=jnp.float32).astype(dt)
-            scale_feats.append(h)
+            scale_feats.append(interp_patches(h, p_max, axis=1))
 
         stacked = jnp.stack(scale_feats, axis=2)            # [B, P, S, E]
         w1 = jnp.take(self.attn_w1, expert_idx, axis=0).astype(dt)
@@ -218,11 +264,7 @@ class ExpertBank(nn.Module):
                            self.proj_w[s].astype(dt),
                            preferred_element_type=jnp.float32)
             h = jax.nn.relu(h + self.proj_b[s][:, None, None, :]).astype(dt)
-            interp = jnp.asarray(linear_interp_matrix(feats.shape[1], p_max),
-                                 dtype=dt)
-            h = jnp.einsum("kcpe,pq->kcqe", h, interp,
-                           preferred_element_type=jnp.float32).astype(dt)
-            scale_feats.append(h)
+            scale_feats.append(interp_patches(h, p_max, axis=2))
 
         stacked = jnp.stack(scale_feats, axis=3)            # [K, C, P, S, E]
         a = jnp.einsum("kcpse,keh->kcpsh", stacked, self.attn_w1.astype(dt),
@@ -264,11 +306,7 @@ class ExpertBank(nn.Module):
                            self.proj_w[s].astype(dt),
                            preferred_element_type=jnp.float32)
             h = jax.nn.relu(h + self.proj_b[s][:, None, None, :]).astype(dt)
-            interp = jnp.asarray(linear_interp_matrix(feats.shape[1], p_max),
-                                 dtype=dt)
-            h = jnp.einsum("kbpe,pq->kbqe", h, interp,
-                           preferred_element_type=jnp.float32).astype(dt)
-            scale_feats.append(h)
+            scale_feats.append(interp_patches(h, p_max, axis=2))
 
         stacked = jnp.stack(scale_feats, axis=3)            # [K, B, P, S, E]
         a = jnp.einsum("kbpse,keh->kbpsh", stacked, self.attn_w1.astype(dt),

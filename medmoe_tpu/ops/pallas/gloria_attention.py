@@ -10,12 +10,20 @@ Computes the [B_img, B_text] similarity matrix of the GLoRIA local loss
     cos[t] = ⟨w_t, wei_t⟩ / (‖w_t‖·‖wei_t‖)
     sim[b,i] = temp3 · log Σ_{t<cap_len} exp(temp2 · cos[t])
 
-Kernel layout: one grid cell per IMAGE; the [D, M] context block stays
-resident in VMEM while all captions stream through in chunks, so the big
-[M, T]-per-pair attention tensors never touch HBM (the XLA path materializes
-or re-materializes them). Context HBM traffic is B·D·M instead of B²·D·M.
+Kernel layout: grid = (B_img, B_text / TXT_BLOCK). The [D, M] context block
+is fetched once per image (its index map is constant over the minor text
+axis) and stays resident in VMEM while caption blocks stream through, so
+the big [M, T]-per-pair attention tensors never touch HBM (the XLA path
+materializes or re-materializes them). Context HBM traffic is B·D·M instead
+of B²·D·M.
 
-Backward runs through jax.custom_vjp with a rematerialized XLA vjp. MXU
+The per-text work inside a cell is a fixed TXT_BLOCK-way unroll over 2D
+lane-slices (Mosaic cannot shape-cast across the sublane/lane boundary), so
+Mosaic compile time is CONSTANT in the batch size — round 1 unrolled all
+B texts in one cell, which blew up compilation beyond B≈16.
+
+Backward runs through jax.custom_vjp with a rematerialized XLA vjp (the
+text-chunked checkpoint path of gloria_local_loss bounds its memory). MXU
 inputs are bf16 with f32 accumulation.
 """
 
@@ -30,46 +38,113 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# texts per grid cell: the unroll factor. 8 keeps the body small for Mosaic
+# while amortizing the resident context block across lane-contiguous words.
+TXT_BLOCK = 8
+
+
+def _segment_max(x: jnp.ndarray, seg: int) -> jnp.ndarray:
+    """Per-lane max over the lane's aligned ``seg``-lane segment (axis 1).
+
+    log2(seg) rounds of a roll-butterfly: each round doubles the window a
+    lane has reduced over, with boundary masks confining windows to their
+    own segment. Pure VPU — no cross-lane shape casts.
+    """
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % seg
+    length = x.shape[1]
+    k = 1
+    while k < seg:
+        fwd = pltpu.roll(x, shift=k, axis=1)      # lane l ← value of l-k
+        x = jnp.maximum(x, jnp.where(lane >= k, fwd, NEG_INF))
+        # negative shifts are unsupported: roll by length-k ≡ roll by -k
+        bwd = pltpu.roll(x, shift=length - k, axis=1)   # lane l ← l+k
+        x = jnp.maximum(x, jnp.where(lane < seg - k, bwd, NEG_INF))
+        k *= 2
+    return x
+
 
 def _sim_kernel(cap_ref, ctx_ref, words_ref, out_ref, *, temp1: float,
-                temp2: float, temp3: float, num_texts: int, t: int):
-    # All ops stay strictly 2D — Mosaic cannot shape-cast across the
-    # (sublane, lane) boundary, so the per-text loop is unrolled and each
-    # text's words are a 2D lane-slice of the flattened [D, B·T] buffer.
-    ctx = ctx_ref[0]                          # [D, M] bf16
+                temp2: float, temp3: float, txt_block: int, t_pad: int,
+                b: int):
+    """Lane-packed cell: ALL txt_block texts' words ride one [D, L] block
+    (L = txt_block·t_pad lanes), so every matmul and VPU op runs at full
+    lane width. The per-text softmax over words becomes a SEGMENTED
+    softmax over t_pad-lane groups: max via the roll-butterfly, sums via
+    one matmul with a block-diagonal ones matrix (exact, MXU)."""
+    ctx = ctx_ref[0]                          # [D, M] bf16, image-resident
+    w_blk = words_ref[0]                      # [D, L] bf16
+    tj = pl.program_id(1)
+    l_total = txt_block * t_pad
 
-    sims = []
-    for i in range(num_texts):
-        w_i = words_ref[0, :, pl.ds(i * t, t)]               # [D, T]
-        cap = cap_ref[i]
+    scores = jax.lax.dot_general(             # [M, L] f32
+        ctx, w_blk, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-        scores = jax.lax.dot_general(                         # [M, T]
-            ctx, w_i, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    lane_in_seg = lane % t_pad
+    caps = jnp.zeros_like(lane)
+    for j in range(txt_block):                # 8 scalar selects
+        caps = jnp.where(lane // t_pad == j,
+                         cap_ref[tj * txt_block + j], caps)
+    valid = lane_in_seg < caps
+    scores = jnp.where(valid, scores, NEG_INF)
 
-        t_ids = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        valid = t_ids < cap
-        scores = jnp.where(valid, scores, NEG_INF)
+    # softmax over each text's words (lane segments)
+    e = jnp.exp(scores - _segment_max(scores, t_pad))     # invalid → 0
+    seg_r = jax.lax.broadcasted_iota(jnp.int32, (l_total, l_total), 0) \
+        // t_pad
+    seg_c = jax.lax.broadcasted_iota(jnp.int32, (l_total, l_total), 1) \
+        // t_pad
+    seg_ones = (seg_r == seg_c).astype(jnp.float32)       # block-diag
+    segsum = jax.lax.dot_general(                         # [M, L]
+        e, seg_ones, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    a1 = e / segsum                           # max lane has e=1 → segsum ≥ 1
 
-        a1 = jax.nn.softmax(scores, axis=1)                   # over words
-        a2 = jax.nn.softmax(a1 * temp1, axis=0)               # over regions
+    # softmax over regions (full sublane column — no segmentation)
+    a2 = jax.nn.softmax(a1 * temp1, axis=0)
 
-        wei = jax.lax.dot_general(                            # [D, T]
-            ctx.astype(jnp.float32), a2,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+    wei = jax.lax.dot_general(                            # [D, L] f32
+        ctx.astype(jnp.float32), a2,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
 
-        w32 = w_i.astype(jnp.float32)
-        num = jnp.sum(w32 * wei, axis=0)                      # [T]
-        den = jnp.sqrt(jnp.sum(w32 * w32, axis=0)) * jnp.sqrt(
-            jnp.sum(wei * wei, axis=0))
-        cos = num / jnp.maximum(den, 1e-8)
+    w32 = w_blk.astype(jnp.float32)
+    num = jnp.sum(w32 * wei, axis=0, keepdims=True)       # [1, L]
+    den = jnp.sqrt(jnp.sum(w32 * w32, axis=0, keepdims=True)) \
+        * jnp.sqrt(jnp.sum(wei * wei, axis=0, keepdims=True))
+    cos = num / jnp.maximum(den, 1e-8)
 
-        row = jnp.where(valid[0], jnp.exp(cos * temp2), 0.0)  # [T]
-        sims.append(jnp.log(jnp.sum(row)) * temp3)
+    valid1 = lane_in_seg[:1] < caps[:1]                   # [1, L]
+    row = jnp.where(valid1, jnp.exp(cos * temp2), 0.0)
+    rowsum = jax.lax.dot_general(                         # [1, L] seg sums
+        row, seg_ones, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    sims = jnp.log(rowsum) * temp3                        # [1, L]
 
-    # scalars can't be stored to VMEM individually — emit the whole row once
-    out_ref[0] = jnp.stack(sims)[None, :]
+    # gather lane j·t_pad of each segment into out lane tj·txt_block+j
+    # with one [L, B] indicator matmul (no scalar extraction)
+    l_i = jax.lax.broadcasted_iota(jnp.int32, (l_total, b), 0)
+    o_i = jax.lax.broadcasted_iota(jnp.int32, (l_total, b), 1)
+    pick = ((l_i % t_pad == 0)
+            & (o_i == tj * txt_block + l_i // t_pad)).astype(jnp.float32)
+    row_full = jax.lax.dot_general(                       # [1, B]
+        sims, pick, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    # the out block spans ALL texts and is revisited across the tj sweep
+    @pl.when(tj == 0)
+    def _init():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    out_ref[0] = out_ref[0] + row_full
+
+
+def _pick_txt_block(b: int) -> int:
+    for blk in (TXT_BLOCK, 4, 2, 1):
+        if b % blk == 0:
+            return blk
+    return 1
 
 
 def _sim_forward(img_features: jnp.ndarray, words_emb: jnp.ndarray,
@@ -78,23 +153,37 @@ def _sim_forward(img_features: jnp.ndarray, words_emb: jnp.ndarray,
     b, d, h, w = img_features.shape
     m = h * w
     t = words_emb.shape[-1]
+    txt_block = _pick_txt_block(b)
+    n_blocks = b // txt_block
+    # per-text lane stride: Mosaic wants the words block's lane count
+    # (txt_block·t_pad) divisible by 128 → pad each text to q-lane multiples
+    import math as _math
+
+    q = 128 // _math.gcd(txt_block, 128)
+    t_pad = t if (txt_block * t) % 128 == 0 else -(-t // q) * q
     ctx = img_features.reshape(b, d, m).astype(jnp.bfloat16)
-    # flatten texts along lanes: [1, D, B*T], text i at lanes [i*T, (i+1)*T)
-    words = words_emb.astype(jnp.bfloat16).transpose(1, 0, 2) \
-        .reshape(1, d, b * t)
+    # flatten texts along lanes: [1, D, B*T_pad], text i at lane i·T_pad
+    words = words_emb.astype(jnp.bfloat16)
+    if t_pad != t:
+        words = jnp.pad(words, ((0, 0), (0, 0), (0, t_pad - t)))
+    words = words.transpose(1, 0, 2).reshape(1, d, b * t_pad)
 
     kernel = functools.partial(_sim_kernel, temp1=temp1, temp2=temp2,
-                               temp3=temp3, num_texts=b, t=t)
+                               temp3=temp3, txt_block=txt_block,
+                               t_pad=t_pad, b=b)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b,),                            # one cell per image
+        grid=(b, n_blocks),                   # (image, text-block)
         in_specs=[
-            pl.BlockSpec((1, d, m), lambda bi, cap: (bi, 0, 0),
+            # constant over the minor text axis → fetched once per image
+            pl.BlockSpec((1, d, m), lambda bi, tj, cap: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, d, b * t), lambda bi, cap: (0, 0, 0),
+            pl.BlockSpec((1, d, txt_block * t_pad),
+                         lambda bi, tj, cap: (0, 0, tj),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, b), lambda bi, cap: (bi, 0, 0),
+        # full row per image, lanes merged across the tj sweep
+        out_specs=pl.BlockSpec((1, 1, b), lambda bi, tj, cap: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
@@ -105,25 +194,38 @@ def _sim_forward(img_features: jnp.ndarray, words_emb: jnp.ndarray,
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * b * m * t * d,
-            bytes_accessed=b * d * m * 2 + b * d * t * 2 + b * b * 4,
+            bytes_accessed=b * d * m * 2 + b * b * d * t * 2 + b * b * 4,
             transcendentals=b * b * m * t),
     )(cap_lens.astype(jnp.int32), ctx, words)
     return out[:, 0, :]
 
 
-def _sim_xla(img_features, words_emb, cap_lens, temp1, temp2, temp3):
-    """Identical math in plain XLA (used for the custom-vjp backward)."""
+def _sim_xla(img_features, words_emb, cap_lens, temp1, temp2, temp3,
+             text_chunk=None):
+    """Identical math in plain XLA (used for the custom-vjp backward).
+    ``text_chunk`` remats caption blocks (bounds the [c,B,M,T] peak)."""
     from medmoe_tpu.ops.losses import attention_fn, cosine_similarity
 
     b, d, h, w = img_features.shape
     t = words_emb.shape[-1]
     context = img_features.reshape(b, d, h * w)
     word_mask = jnp.arange(t)[None, :] < cap_lens[:, None]
-    wei, _ = attention_fn(words_emb, context, temp1, word_mask)
-    row = cosine_similarity(words_emb[:, None], wei, axis=2) * temp2
-    row = jnp.where(word_mask[:, None, :], jnp.exp(row), 0.0)
-    sim = jnp.log(jnp.sum(row, axis=-1)) * temp3        # [text, img]
-    return sim.T
+
+    def block(words_c, mask_c):
+        wei, _ = attention_fn(words_c, context, temp1, mask_c)
+        row = cosine_similarity(words_c[:, None], wei, axis=2) * temp2
+        row = jnp.where(mask_c[:, None, :], jnp.exp(row), 0.0)
+        return jnp.log(jnp.sum(row, axis=-1))             # [c, B]
+
+    if text_chunk and b > text_chunk and b % text_chunk == 0:
+        nc = b // text_chunk
+        wc = words_emb.reshape(nc, text_chunk, d, t)
+        mc = word_mask.reshape(nc, text_chunk, t)
+        sim = jax.lax.map(jax.checkpoint(lambda args: block(*args)),
+                          (wc, mc)).reshape(b, b)
+    else:
+        sim = block(words_emb, word_mask)
+    return sim.T * temp3                                  # [img, text]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -143,8 +245,10 @@ def _fwd(img_features, words_emb, cap_lens, temp1, temp2, temp3):
 
 def _bwd(temp1, temp2, temp3, residuals, g):
     img_features, words_emb, cap_lens = residuals
+    chunk = TXT_BLOCK if img_features.shape[0] > TXT_BLOCK else None
     _, vjp = jax.vjp(
-        lambda im, wo: _sim_xla(im, wo, cap_lens, temp1, temp2, temp3),
+        lambda im, wo: _sim_xla(im, wo, cap_lens, temp1, temp2, temp3,
+                                text_chunk=chunk),
         img_features, words_emb)
     d_img, d_words = vjp(g)
     return d_img, d_words, None

@@ -16,6 +16,19 @@ def _pyramid(rng, b=3, dims=(4, 8), lens=(16, 4)):
 
 
 class TestInterpolation:
+    def test_gather_lerp_matches_matrix(self):
+        """The hot-path gather+lerp form ≡ the dense-matrix oracle."""
+        from medmoe_tpu.models.moe import interp_patches
+
+        rng = np.random.RandomState(1)
+        for src, dst in [(49, 3136), (784, 3136), (4, 16), (16, 16)]:
+            x = rng.randn(2, src, 8).astype(np.float32)
+            mat = linear_interp_matrix(src, dst)
+            expected = np.einsum("bpe,pq->bqe", x, mat)
+            got = interp_patches(jnp.asarray(x), dst, axis=1)
+            np.testing.assert_allclose(np.asarray(got), expected,
+                                       rtol=1e-5, atol=1e-6)
+
     def test_matches_torch_linear(self):
         import torch
         import torch.nn.functional as F
