@@ -41,12 +41,13 @@ src/models/components/swin.py:11-117) for TPU:
                     all-to-alls over ICI and per-device compute is
                     B·k·capacity_factor/n_expert_shards.
 
-  Measured on one v5e chip (full MedMoE step, B=32): gather 6.7k
-  pairs/s > dense 5.1k > topk 3.5k. For MedMoE's per-IMAGE routing the
-  routed unit carries a huge feature pyramid (≈4k patches), so gathering
-  the (smaller) expert parameters per sample beats dispatching the
-  features into [K, C, …] blocks; ``topk`` wins in the usual per-token
-  MoE regime (small tokens, many experts) and is kept for that scale.
+  Measured on one v5e chip (value-fetch-honest timing, full MedMoE step,
+  B=32): gather ≈ 2.7× faster than dense end to end. For MedMoE's
+  per-IMAGE routing the routed unit carries a huge feature pyramid
+  (≈4k patches), so gathering the (smaller) expert parameters per sample
+  beats dispatching the features into [K, C, …] blocks; ``topk`` wins in
+  the usual per-token MoE regime (small tokens, many experts) and is the
+  EP execution form at multi-chip scale.
 """
 
 from __future__ import annotations
@@ -191,25 +192,41 @@ class ExpertBank(nn.Module):
 
     def _gather_one(self, pyramid: Sequence[jnp.ndarray],
                     expert_idx: jnp.ndarray) -> jnp.ndarray:
-        """pyramid[s]: [B, P_s, D_s]; expert_idx: [B] int32 → [B, P, D]."""
+        """pyramid[s]: [B, P_s, D_s]; expert_idx: [B] int32 → [B, P, D].
+
+        Per-sample parameter selection is a ONE-HOT EINSUM, not jnp.take:
+        the forward matmul is trivial (B·K·|param| FLOPs) but — crucially —
+        its transpose rule makes the parameter gradient another matmul
+        (onehotᵀ @ per-sample grads) instead of take's vjp, a serialized
+        batch-indexed scatter-add that dominated the whole training step
+        (~50 ms of the round-2 101 ms step at B=32 on v5e)."""
         cfg = self.config
         dt = cfg.dtype
         p_max = max(f.shape[1] for f in pyramid)
+        onehot = jax.nn.one_hot(expert_idx, cfg.num_experts,
+                                dtype=jnp.float32)          # [B, K]
+
+        def sel(param):                       # [K, ...] → per-sample [B, ...]
+            flat = param.reshape(param.shape[0], -1)
+            picked = jnp.einsum("bk,kf->bf", onehot, flat,
+                                preferred_element_type=jnp.float32)
+            return picked.reshape((onehot.shape[0],) + param.shape[1:]) \
+                .astype(dt)
 
         scale_feats = []
         for s, feats in enumerate(pyramid):
-            w = jnp.take(self.proj_w[s], expert_idx, axis=0).astype(dt)  # [B,Ds,E]
-            b = jnp.take(self.proj_b[s], expert_idx, axis=0).astype(dt)  # [B,E]
+            w = sel(self.proj_w[s])                          # [B, Ds, E]
+            b = sel(self.proj_b[s])                          # [B, E]
             h = jnp.einsum("bpd,bde->bpe", feats.astype(dt), w,
                            preferred_element_type=jnp.float32)
             h = jax.nn.relu(h + b[:, None, :].astype(jnp.float32)).astype(dt)
             scale_feats.append(interp_patches(h, p_max, axis=1))
 
         stacked = jnp.stack(scale_feats, axis=2)            # [B, P, S, E]
-        w1 = jnp.take(self.attn_w1, expert_idx, axis=0).astype(dt)
-        b1 = jnp.take(self.attn_b1, expert_idx, axis=0).astype(dt)
-        w2 = jnp.take(self.attn_w2, expert_idx, axis=0).astype(dt)
-        b2 = jnp.take(self.attn_b2, expert_idx, axis=0).astype(dt)
+        w1 = sel(self.attn_w1)
+        b1 = sel(self.attn_b1)
+        w2 = sel(self.attn_w2)
+        b2 = sel(self.attn_b2)
         a = jnp.einsum("bpse,beh->bpsh", stacked, w1,
                        preferred_element_type=jnp.float32)
         a = jax.nn.relu(a + b1[:, None, None, :].astype(jnp.float32)).astype(dt)
@@ -273,7 +290,7 @@ class ExpertBank(nn.Module):
         logits = jnp.einsum("kcpsh,kho->kcpso", a, self.attn_w2.astype(dt),
                             preferred_element_type=jnp.float32)
         logits = (logits + self.attn_b2[:, None, None, None, :])[..., 0]
-        attn = jax.nn.softmax(logits, axis=-1).astype(dt)   # [K, C, P, S]
+        attn = jax.nn.softmax(logits, axis=-1).astype(dt)
         fused = jnp.einsum("kcpse,kcps->kcpe", stacked, attn,
                            preferred_element_type=jnp.float32)  # [K,C,P,E]
 
@@ -315,7 +332,7 @@ class ExpertBank(nn.Module):
         logits = jnp.einsum("kbpsh,kho->kbpso", a, self.attn_w2.astype(dt),
                             preferred_element_type=jnp.float32)
         logits = (logits + self.attn_b2[:, None, None, None, :])[..., 0]
-        attn = jax.nn.softmax(logits, axis=-1).astype(dt)   # [K, B, P, S]
+        attn = jax.nn.softmax(logits, axis=-1).astype(dt)
         fused = jnp.einsum("kbpse,kbps->kbpe", stacked, attn,
                            preferred_element_type=jnp.float32).astype(dt)
         # combine contraction over k (psum over the 'expert' axis if sharded)
