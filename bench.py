@@ -191,11 +191,15 @@ def measure_e2e(module, cfg, mesh, state, step, global_batch, n_chips):
         rng = jax.random.PRNGKey(2)
         n_done = 0
         t0 = None
-        for i, batch in enumerate(dm.train_dataloader(0)):
+        put = (lambda b: jax.device_put(b, sharding)) if sharding is not None \
+            else jax.device_put
+        # background prefetch: decode + host→device transfer of batch i+1
+        # overlap the device's step i (mirrors the Trainer's hot loop)
+        from medmoe_tpu.data.prefetch import prefetch
+
+        for i, dev in enumerate(prefetch(dm.train_dataloader(0), 2, put)):
             if i >= warmup + steps:
                 break
-            dev = (jax.device_put(batch, sharding) if sharding is not None
-                   else jax.device_put(batch))
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, dev, sub)
             if i + 1 == warmup:

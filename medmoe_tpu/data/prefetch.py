@@ -1,0 +1,95 @@
+"""Background-thread batch prefetch: overlap host work with device compute.
+
+The reference overlaps input preparation with GPU compute through
+DataLoader worker processes (reference configs/data/unimed.yaml
+num_workers: 5, src/data/unimed_datamodule.py:82-122). The TPU-native
+datamodules decode in-line in the loader generator (with a thread-pooled
+native JPEG path), so without prefetch the chip idles while the host
+prepares the next batch: the step is dispatched asynchronously, but the
+host cannot start decoding batch i+1 until it has *pulled* it from the
+generator, which only happens after the step-i dispatch returns.
+
+``prefetch`` runs the loader generator on a daemon thread, ``depth``
+batches ahead, behind a bounded queue. The optional ``transform`` (e.g. a
+``jax.device_put`` with a NamedSharding) also runs on the worker thread:
+JAX transfers are thread-safe and asynchronous, so host→device copies of
+batch i+1 ride alongside the device's step i instead of serializing with
+it.
+
+Early exit is safe: closing the generator (or a break in the consuming
+for-loop, which triggers GeneratorExit) signals the worker to stop, so a
+truncated epoch (limit_train_batches, preemption) does not leak a thread
+blocked on a full queue.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterable, Iterator, Optional
+
+__all__ = ["prefetch"]
+
+_SENTINEL = object()
+
+
+class _WorkerError:
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
+def prefetch(iterable: Iterable, depth: int = 2,
+             transform: Optional[Callable] = None) -> Iterator:
+    """Yield from ``iterable``, produced ``depth`` items ahead on a
+    background thread. ``transform`` is applied on the worker thread.
+
+    depth <= 0 disables prefetching (synchronous passthrough) — useful to
+    keep one code path in callers with a config knob.
+    """
+    if depth <= 0:
+        for item in iterable:
+            yield transform(item) if transform is not None else item
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for item in iterable:
+                if transform is not None:
+                    item = transform(item)
+                # bounded-wait put so a stopped consumer can't strand us
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            _put_final(_SENTINEL)
+        except BaseException as exc:    # propagate to the consumer
+            _put_final(_WorkerError(exc))
+
+    def _put_final(item):
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return
+            except queue.Full:
+                continue
+
+    thread = threading.Thread(target=worker, daemon=True,
+                              name="medmoe-prefetch")
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            if isinstance(item, _WorkerError):
+                raise item.exc
+            yield item
+    finally:
+        stop.set()

@@ -18,8 +18,9 @@ from typing import Any, Dict, Iterable, List, Optional
 import jax
 import numpy as np
 
+from medmoe_tpu.data.prefetch import prefetch
 from medmoe_tpu.parallel.mesh import make_mesh
-from medmoe_tpu.parallel.sharding import param_shardings
+from medmoe_tpu.parallel.sharding import param_shardings, shard_batch
 from medmoe_tpu.train.optim import get_learning_rate, set_learning_rate
 from medmoe_tpu.train.state import TrainState
 from medmoe_tpu.train.step import build_eval_step, build_train_step
@@ -75,6 +76,7 @@ class Trainer:
                  detect_anomaly: bool = False,
                  overfit_batches: int = 0,
                  steps_per_epoch: Optional[int] = None,
+                 prefetch_batches: int = 2,
                  profiler: Optional[str] = None,
                  default_root_dir: str = ".",
                  callbacks: Optional[List] = None,
@@ -94,6 +96,7 @@ class Trainer:
         self.detect_anomaly = detect_anomaly
         self.overfit_batches = int(overfit_batches or 0)
         self.steps_per_epoch = steps_per_epoch
+        self.prefetch_batches = int(prefetch_batches)
         self.profiler = profiler
         self.default_root_dir = default_root_dir
         self.callbacks = callbacks or []
@@ -282,6 +285,13 @@ class Trainer:
                     datamodule, "steps_per_epoch", None)
                 train_iter = _limit(loader, self.limit_train_batches,
                                     steps, "train")
+                # background prefetch: host decode/collate (and, when no
+                # accumulation stacking happens on the main thread, the
+                # host→device transfer too) overlaps device compute
+                transform = ((lambda b: shard_batch(b, self.mesh))
+                             if self.accumulate_grad_batches == 1 else None)
+                train_iter = prefetch(train_iter, self.prefetch_batches,
+                                      transform)
 
             for batch in train_iter:
                 micro_batches.append(batch)
@@ -388,9 +398,11 @@ class Trainer:
             eval_step = build_eval_step(self.module, mesh=self.mesh)
         sums: Dict[str, List[float]] = {}
         loader = datamodule.val_dataloader()
-        for batch in _limit(loader, self.limit_val_batches,
-                            getattr(datamodule, "val_steps_per_epoch", None),
-                            "val"):
+        val_iter = _limit(loader, self.limit_val_batches,
+                          getattr(datamodule, "val_steps_per_epoch", None),
+                          "val")
+        for batch in prefetch(val_iter, self.prefetch_batches,
+                              lambda b: shard_batch(b, self.mesh)):
             metrics = eval_step(self.state.params, batch)
             for k, v in metrics.items():
                 sums.setdefault(f"val/{k}", []).append(v)
@@ -411,9 +423,11 @@ class Trainer:
         eval_step = build_eval_step(module, mesh=self.mesh)
         sums: Dict[str, List[float]] = {}
         loader = datamodule.test_dataloader()
-        for batch in _limit(loader, self.limit_test_batches,
-                            getattr(datamodule, "test_steps_per_epoch", None),
-                            "test"):
+        test_iter = _limit(loader, self.limit_test_batches,
+                           getattr(datamodule, "test_steps_per_epoch", None),
+                           "test")
+        for batch in prefetch(test_iter, self.prefetch_batches,
+                              lambda b: shard_batch(b, self.mesh)):
             metrics = eval_step(self.state.params, batch)
             for k, v in metrics.items():
                 sums.setdefault(f"test/{k}", []).append(v)
