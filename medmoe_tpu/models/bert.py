@@ -37,6 +37,33 @@ class BertConfig:
     dtype: jnp.dtype = jnp.bfloat16
 
 
+class OneHotEmbed(nn.Embed):
+    """``nn.Embed`` with the row gather replaced by a one-hot matmul.
+
+    Identical parameter tree (``embedding``) and identical values — the
+    one-hot rows select exactly one table row (zeros contribute exactly
+    0.0; Precision.HIGHEST keeps the f32 row bit-faithful through the MXU
+    pass decomposition). On TPU the forward gather and — far worse — its
+    scatter-add vjp (the embedding-table gradient) fall off the vector
+    units; as matmuls both directions ride the MXU.
+    """
+
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        onehot = jax.nn.one_hot(inputs, self.num_embeddings, dtype=jnp.float32)
+        return jax.lax.dot_general(
+            onehot, self.embedding.astype(jnp.float32),
+            dimension_numbers=(((onehot.ndim - 1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+
+
+class SliceEmbed(nn.Embed):
+    """``nn.Embed`` for tables indexed by a static arange (positions):
+    the lookup is a static slice ``table[:t]`` — no indexing op at all."""
+
+    def __call__(self, t: int) -> jnp.ndarray:
+        return self.embedding[None, :t, :]
+
+
 class BertEmbeddings(nn.Module):
     config: BertConfig
 
@@ -44,13 +71,15 @@ class BertEmbeddings(nn.Module):
     def __call__(self, input_ids, token_type_ids):
         cfg = self.config
         b, t = input_ids.shape
-        word = nn.Embed(cfg.vocab_size, cfg.hidden_size,
-                        param_dtype=jnp.float32, name="word_embeddings")(input_ids)
-        pos_ids = jnp.arange(t)[None, :]
-        pos = nn.Embed(cfg.max_position_embeddings, cfg.hidden_size,
-                       param_dtype=jnp.float32, name="position_embeddings")(pos_ids)
-        typ = nn.Embed(cfg.type_vocab_size, cfg.hidden_size,
-                       param_dtype=jnp.float32, name="token_type_embeddings")(token_type_ids)
+        word = OneHotEmbed(cfg.vocab_size, cfg.hidden_size,
+                           param_dtype=jnp.float32,
+                           name="word_embeddings")(input_ids)
+        pos = SliceEmbed(cfg.max_position_embeddings, cfg.hidden_size,
+                         param_dtype=jnp.float32,
+                         name="position_embeddings")(t)
+        typ = OneHotEmbed(cfg.type_vocab_size, cfg.hidden_size,
+                          param_dtype=jnp.float32,
+                          name="token_type_embeddings")(token_type_ids)
         x = word + pos + typ
         x = Fp32LayerNorm(epsilon=cfg.layer_norm_eps, name="norm")(x)
         return x.astype(cfg.dtype)

@@ -134,13 +134,24 @@ def interp_patches(h: jnp.ndarray, dst_len: int, axis: int) -> jnp.ndarray:
     x_m1 = jnp.concatenate([x[..., :1, :], x[..., :-1, :]], axis=-2)
     x_p1 = jnp.concatenate([x[..., 1:, :], x[..., -1:, :]], axis=-2)
 
-    phases = []
-    for s in range(r):
-        lo_s, hi_s = (x_m1, x) if c[s] == -1 else (x, x_p1)
-        blend = (lo_s.astype(jnp.float32) * (1.0 - float(w[s]))
-                 + hi_s.astype(jnp.float32) * float(w[s]))
-        phases.append(blend.astype(h.dtype))
-    out = jnp.stack(phases, axis=-2)                 # [..., src, r, E]
+    # phases split into a c=-1 half (blend x_m1→x) and a c=0 half (blend
+    # x→x_p1), so ALL r phases reduce to two broadcast lerps + one concat —
+    # a per-phase python loop emitted r separate mul-adds plus an r-way
+    # stack, whose layout copies on the [.., src, r, E] output dominated
+    # the MoE block's time at r=64 (2434 layout-copy ops/step, 19 ms)
+    n_lo = int(np.sum(c == -1))
+    parts = []
+    if n_lo:
+        w_lo = jnp.asarray(w[:n_lo])[:, None]        # [r_lo, 1]
+        parts.append(x_m1.astype(jnp.float32)[..., :, None, :]
+                     * (1.0 - w_lo)
+                     + x.astype(jnp.float32)[..., :, None, :] * w_lo)
+    if n_lo < r:
+        w_hi = jnp.asarray(w[n_lo:])[:, None]        # [r_hi, 1]
+        parts.append(x.astype(jnp.float32)[..., :, None, :] * (1.0 - w_hi)
+                     + x_p1.astype(jnp.float32)[..., :, None, :] * w_hi)
+    out = (parts[0] if len(parts) == 1
+           else jnp.concatenate(parts, axis=-2)).astype(h.dtype)
     out = out.reshape(out.shape[:-3] + (src * r, out.shape[-1]))
     return jnp.moveaxis(out, -2, axis)
 
@@ -213,6 +224,11 @@ class ExpertBank(nn.Module):
             return picked.reshape((onehot.shape[0],) + param.shape[1:]) \
                 .astype(dt)
 
+        # the [B, P, S, E] stacked-scales tensor (616 MB bf16 at B=32) is
+        # never materialized: each scale keeps its own [B, P, E] map, the
+        # cross-scale attention runs per scale, and the weighted sum
+        # accumulates scale by scale — the stack forced two extra passes
+        # over 616 MB plus layout copies that dominated this block's time
         scale_feats = []
         for s, feats in enumerate(pyramid):
             w = sel(self.proj_w[s])                          # [B, Ds, E]
@@ -222,20 +238,26 @@ class ExpertBank(nn.Module):
             h = jax.nn.relu(h + b[:, None, :].astype(jnp.float32)).astype(dt)
             scale_feats.append(interp_patches(h, p_max, axis=1))
 
-        stacked = jnp.stack(scale_feats, axis=2)            # [B, P, S, E]
         w1 = sel(self.attn_w1)
         b1 = sel(self.attn_b1)
         w2 = sel(self.attn_w2)
         b2 = sel(self.attn_b2)
-        a = jnp.einsum("bpse,beh->bpsh", stacked, w1,
-                       preferred_element_type=jnp.float32)
-        a = jax.nn.relu(a + b1[:, None, None, :].astype(jnp.float32)).astype(dt)
-        logits = jnp.einsum("bpsh,bho->bpso", a, w2,
-                            preferred_element_type=jnp.float32)
-        logits = (logits + b2[:, None, None, :].astype(jnp.float32))[..., 0]
-        attn = jax.nn.softmax(logits, axis=-1).astype(dt)   # [B, P, S]
-        return jnp.einsum("bpse,bps->bpe", stacked, attn,
-                          preferred_element_type=jnp.float32)  # [B, P, E] f32
+        logits = []
+        for h in scale_feats:                                # per scale
+            a = jnp.einsum("bpe,beh->bph", h, w1,
+                           preferred_element_type=jnp.float32)
+            a = jax.nn.relu(a + b1[:, None, :].astype(jnp.float32)).astype(dt)
+            l = jnp.einsum("bph,bho->bpo", a, w2,
+                           preferred_element_type=jnp.float32)
+            logits.append(l[..., 0] + b2[:, :1].astype(jnp.float32))
+        attn = jax.nn.softmax(jnp.stack(logits, axis=-1), axis=-1) \
+            .astype(dt)                                      # [B, P, S]
+        out = None
+        for s, h in enumerate(scale_feats):
+            term = h.astype(jnp.float32) \
+                * attn[:, :, s, None].astype(jnp.float32)
+            out = term if out is None else out + term
+        return out                                           # [B, P, E] f32
 
     # ---- topk/ep mode: capacity dispatch + grouped matmuls ---------------
     def apply_dispatched(self, pyramid: Sequence[jnp.ndarray],
@@ -265,20 +287,19 @@ class ExpertBank(nn.Module):
             weights = jnp.ones((b, k_slots), jnp.float32)
         p_max = max(f.shape[1] for f in pyramid)
         capacity = max(1, int(np.ceil(b * k_slots * capacity_factor / k)))
-        dispatch_idx, slot_valid, kept = make_dispatch(expert_idx, k,
-                                                       capacity)
-        # dispatch_idx holds FLAT assignment ids (sample-major b·k_slots + j)
-        sample_for_slot = dispatch_idx // k_slots            # [K, C]
-        w_for_slot = jnp.take(weights.reshape(-1),
-                              dispatch_idx.reshape(-1),
-                              axis=0).reshape(k, capacity)   # [K, C]
+        # GShard-style dispatch/combine einsum tensors: both the slot fill
+        # and the per-sample merge are matmuls — no gather/scatter anywhere
+        # (their vjps are matmuls too), which is both the TPU-fast form and
+        # the one GSPMD lowers to all-to-alls when the k axis is sharded
+        dispatch, combine = make_dispatch_tensors(expert_idx, weights, k,
+                                                  capacity)
 
         scale_feats = []
         for s, feats in enumerate(pyramid):
-            g = jnp.take(feats, sample_for_slot.reshape(-1), axis=0)
-            g = g.reshape(k, capacity, feats.shape[1], feats.shape[2])
-            h = jnp.einsum("kcpd,kde->kcpe", g.astype(dt),
-                           self.proj_w[s].astype(dt),
+            g = jnp.einsum("kcb,bpd->kcpd", dispatch.astype(dt),
+                           feats.astype(dt),
+                           preferred_element_type=jnp.float32).astype(dt)
+            h = jnp.einsum("kcpd,kde->kcpe", g, self.proj_w[s].astype(dt),
                            preferred_element_type=jnp.float32)
             h = jax.nn.relu(h + self.proj_b[s][:, None, None, :]).astype(dt)
             scale_feats.append(interp_patches(h, p_max, axis=2))
@@ -294,14 +315,11 @@ class ExpertBank(nn.Module):
         fused = jnp.einsum("kcpse,kcps->kcpe", stacked, attn,
                            preferred_element_type=jnp.float32)  # [K,C,P,E]
 
-        # combine-weight scale, then scatter-add per sample: two slots of
-        # the same sample accumulate (the top-k weighted combine); invalid
-        # slots masked, dropped assignments contribute zero
-        fused = fused * (w_for_slot * slot_valid)[:, :, None, None]
-        flat = fused.reshape(k * capacity, p_max, cfg.output_dim)
-        out = jnp.zeros((b, p_max, cfg.output_dim), jnp.float32)
-        out = out.at[sample_for_slot.reshape(-1)].add(flat, mode="drop")
-        return out
+        # weighted merge back per sample: two slots of the same sample
+        # accumulate (the top-k combine); capacity-dropped assignments have
+        # zero combine weight and contribute nothing
+        return jnp.einsum("kcb,kcpe->bpe", combine, fused,
+                          preferred_element_type=jnp.float32)
 
     # ---- dense mode: all experts, weighted combine -----------------------
     def apply_dense(self, pyramid: Sequence[jnp.ndarray],
@@ -352,6 +370,39 @@ def topk_routing(router_probs: jnp.ndarray, k: int
     vals, idx = jax.lax.top_k(router_probs, k)
     weights = vals / jnp.maximum(jnp.sum(vals, axis=-1, keepdims=True), 1e-9)
     return idx.astype(jnp.int32), weights.astype(jnp.float32)
+
+
+def make_dispatch_tensors(expert_idx: jnp.ndarray, weights: jnp.ndarray,
+                          num_experts: int, capacity: int
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GShard-form dispatch/combine tensors (gather/scatter-free).
+
+    expert_idx [B, k], weights [B, k] →
+      dispatch [K, C, B]: 1.0 where slot (e, c) holds sample b
+      combine  [K, C, B]: dispatch · the assignment's combine weight
+
+    Position-in-expert is the running count of earlier assignments routed
+    to the same expert (exclusive cumsum, sample-major over the flattened
+    [B·k] list — the same deterministic order as ``make_dispatch``).
+    Capacity-dropped assignments simply vanish from both tensors: every
+    step is one-hot outer products and reductions, never a scatter.
+    """
+    b, k_slots = expert_idx.shape
+    flat_expert = expert_idx.reshape(-1)                         # [B·k]
+    onehot_e = jax.nn.one_hot(flat_expert, num_experts, dtype=jnp.int32)
+    position = jnp.cumsum(onehot_e, axis=0) - onehot_e
+    pos_in_expert = jnp.sum(position * onehot_e, axis=1)         # [B·k]
+    kept = pos_in_expert < capacity
+    oh_e = onehot_e.astype(jnp.float32) * kept[:, None].astype(jnp.float32)
+    oh_c = jax.nn.one_hot(jnp.minimum(pos_in_expert, capacity - 1),
+                          capacity, dtype=jnp.float32)
+    assign = jnp.einsum("nk,nc->nkc", oh_e, oh_c)                # [B·k, K, C]
+    assign = assign.reshape(b, k_slots, num_experts, capacity)
+    dispatch = jnp.transpose(jnp.sum(assign, axis=1), (1, 2, 0))  # [K, C, B]
+    combine = jnp.transpose(
+        jnp.einsum("bjkc,bj->bkc", assign, weights.astype(jnp.float32)),
+        (1, 2, 0))                                               # [K, C, B]
+    return dispatch, combine
 
 
 def make_dispatch(expert_idx: jnp.ndarray, num_experts: int, capacity: int):

@@ -125,12 +125,23 @@ class WindowAttention(nn.Module):
         attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                           preferred_element_type=jnp.float32)
 
+        table_len = (2 * self.window - 1) ** 2
         bias_table = self.param(
             "relative_position_bias_table",
             nn.initializers.truncated_normal(0.02),
-            ((2 * self.window - 1) ** 2, self.num_heads), jnp.float32)
-        rel_index = jnp.asarray(_relative_position_index(self.window))
-        bias = bias_table[rel_index.reshape(-1)].reshape(n, n, self.num_heads)
+            (table_len, self.num_heads), jnp.float32)
+        # table lookup as a constant-selector matmul, not a gather: the
+        # index is static, so the [n², table] one-hot folds to a constant
+        # and the lookup (and its vjp — the bias-table gradient) runs on
+        # the MXU instead of TPU-hostile gather/scatter ops.
+        rel_index = _relative_position_index(self.window).reshape(-1)
+        selector = np.zeros((n * n, table_len), np.float32)
+        selector[np.arange(n * n), rel_index] = 1.0
+        bias = jax.lax.dot_general(
+            jnp.asarray(selector), bias_table,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        bias = bias.reshape(n, n, self.num_heads)
         attn = attn + bias.transpose(2, 0, 1)[None]
 
         if mask is not None:
@@ -214,10 +225,15 @@ class PatchMerging(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         h, w = self.input_resolution
         b, n, c = x.shape
-        x = x.reshape(b, h, w, c)
+        # 2×2 decimation via reshape + unit slices: `x[:, i::2, j::2]`
+        # strided indexing lowers to HLO gather (+ scatter-add vjp), which
+        # TPU executes off the vector units; reshape/slice/transpose are
+        # layout ops XLA fuses away. x[:, :, i, :, j] ≡ x[:, i::2, j::2].
+        x = x.reshape(b, h // 2, 2, w // 2, 2, c)
         # concat order matches HF SwinPatchMerging for checkpoint parity
         x = jnp.concatenate(
-            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
+            [x[:, :, 0, :, 0], x[:, :, 1, :, 0],
+             x[:, :, 0, :, 1], x[:, :, 1, :, 1]],
             axis=-1)
         x = x.reshape(b, (h // 2) * (w // 2), 4 * c)
         x = Fp32LayerNorm(epsilon=self.eps, name="norm")(x)

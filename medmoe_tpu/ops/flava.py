@@ -86,7 +86,9 @@ def _masked_ce(logits: jnp.ndarray, labels: jnp.ndarray,
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    nll = -jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
+    # one-hot select: gather/scatter-free label pick (exact — zeros added)
+    onehot = jax.nn.one_hot(safe, logprobs.shape[-1], dtype=logprobs.dtype)
+    nll = -jnp.sum(logprobs * onehot, axis=-1)
     n = jnp.sum(valid)
     return jnp.sum(jnp.where(valid, nll, 0.0)) / jnp.maximum(n, 1)
 
@@ -180,8 +182,10 @@ def contrastive_loss_with_temperature(
 
     lp_a = jax.nn.log_softmax(logits_a, axis=-1)
     lp_b = jax.nn.log_softmax(logits_b, axis=-1)
-    loss_a = -jnp.mean(jnp.take_along_axis(lp_a, labels[:, None], axis=1))
-    loss_b = -jnp.mean(jnp.take_along_axis(lp_b, labels[:, None], axis=1))
+    # one-hot select (TPU: gather/scatter-free label pick, exact)
+    onehot = jax.nn.one_hot(labels, lp_a.shape[1], dtype=lp_a.dtype)
+    loss_a = -jnp.mean(jnp.sum(lp_a * onehot, axis=1))
+    loss_b = -jnp.mean(jnp.sum(lp_b * onehot, axis=1))
     loss = (loss_a + loss_b) / 2.0
     return ContrastiveLossOutput(loss=loss, logits_a=logits_a,
                                  logits_b=logits_b, loss_a=loss_a,

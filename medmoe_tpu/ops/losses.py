@@ -18,7 +18,7 @@ losses.py:989 — slicing before a softmax over words ≡ -inf masking).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -34,9 +34,16 @@ class GloriaLocalOutput(NamedTuple):
 
 def _cross_entropy_diag(logits: jnp.ndarray) -> jnp.ndarray:
     """Mean CE with labels = arange(B) (reference's
-    ``CrossEntropyLoss()(scores, labels)`` with identity labels)."""
+    ``CrossEntropyLoss()(scores, labels)`` with identity labels).
+
+    The diagonal is read with an eye-mask reduction instead of
+    ``jnp.diagonal``: on TPU the gather (and its scatter-add vjp) falls off
+    the vector units, while multiply-by-eye + sum is a fused VPU op with a
+    multiply-by-eye vjp. Exact: off-diagonal terms are multiplied by 0.0."""
     logprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    return -jnp.mean(jnp.diagonal(logprobs))
+    b = logprobs.shape[0]
+    eye = jnp.eye(b, dtype=logprobs.dtype)
+    return -jnp.sum(logprobs * eye) / b
 
 
 def attention_fn(words: jnp.ndarray, context: jnp.ndarray, temp1: float,
@@ -76,11 +83,29 @@ def cosine_similarity(x1: jnp.ndarray, x2: jnp.ndarray, axis: int,
     return w12 / jnp.maximum(w1 * w2, eps)
 
 
+def auto_text_chunk(b: int, m: int, t: int,
+                    budget_bytes: int = 2 << 30) -> Optional[int]:
+    """Largest caption-block size whose rematerialized backward stays under
+    a peak-activation budget — None when the WHOLE batch fits, so small
+    batches skip the lax.map chunk loop entirely (the loop serializes its
+    iterations on device; at B=32 the unchunked peak is ~0.3 GB and the
+    loop was pure overhead, ~15% of the train step on v5e). At B=256 this
+    resolves to 8, the hand-tuned round-1 value."""
+    per_text = b * m * t * 4 * 3     # scores+attn+cotangents resident in vjp
+    chunk = max(1, int(budget_bytes // per_text))
+    if chunk >= b:
+        return None
+    for c in range(chunk, 0, -1):
+        if b % c == 0:
+            return c
+    return 1
+
+
 def gloria_local_loss(img_features: jnp.ndarray, words_emb: jnp.ndarray,
                       cap_lens: jnp.ndarray, temp1: float = 4.0,
                       temp2: float = 5.0, temp3: float = 10.0,
                       agg: str = "sum", return_att_maps: bool = False,
-                      text_chunk: Optional[int] = 8) -> GloriaLocalOutput:
+                      text_chunk: Any = "auto") -> GloriaLocalOutput:
     """Batched GLoRIA local (word-region) contrastive loss.
 
     img_features: [B, D, H, W]; words_emb: [B, D, T]; cap_lens: [B] int.
@@ -95,6 +120,8 @@ def gloria_local_loss(img_features: jnp.ndarray, words_emb: jnp.ndarray,
     """
     b, d, h, w = img_features.shape
     t = words_emb.shape[-1]
+    if text_chunk == "auto":
+        text_chunk = auto_text_chunk(b, h * w, t)
     context = img_features.reshape(b, d, h * w)
     word_mask = jnp.arange(t)[None, :] < cap_lens[:, None]     # [B, T]
 
@@ -173,8 +200,10 @@ def clip_contrastive_loss(img: jnp.ndarray, txt: jnp.ndarray,
     labels = offset + jnp.arange(local_b)
     lp_i = jax.nn.log_softmax(logits_i, axis=-1)
     lp_t = jax.nn.log_softmax(logits_t, axis=-1)
-    loss_i = -jnp.mean(jnp.take_along_axis(lp_i, labels[:, None], axis=1))
-    loss_t = -jnp.mean(jnp.take_along_axis(lp_t, labels[:, None], axis=1))
+    # one-hot select (TPU: gather/scatter-free label pick, exact)
+    onehot = jax.nn.one_hot(labels, lp_i.shape[1], dtype=lp_i.dtype)
+    loss_i = -jnp.mean(jnp.sum(lp_i * onehot, axis=1))
+    loss_t = -jnp.mean(jnp.sum(lp_t * onehot, axis=1))
     return (loss_i + loss_t) / 2.0
 
 
@@ -199,8 +228,9 @@ def hard_negative_loss(imgs: jnp.ndarray, caps: jnp.ndarray, nmax: int = 1,
     imgs = imgs / jnp.linalg.norm(imgs, axis=-1, keepdims=True)
     caps = caps / jnp.linalg.norm(caps, axis=-1, keepdims=True)
     scores = (imgs @ caps.T).astype(jnp.float32)
-    diag = jnp.diagonal(scores)
-    scores = scores - 2.0 * jnp.diag(diag)
+    eye = jnp.eye(scores.shape[0], dtype=scores.dtype)
+    diag = jnp.sum(scores * eye, axis=1)        # gather-free diagonal read
+    scores = scores - 2.0 * scores * eye        # == scores - 2·diag(diag)
     top_c = jax.lax.top_k(scores.T, nmax)[0].T               # [nmax, B]
     top_i = jax.lax.top_k(scores, nmax)[0]                   # [B, nmax]
     neg_cap = jnp.sum(jnp.maximum(top_c + (margin - diag)[None, :], 0.0))
@@ -214,7 +244,8 @@ def router_classification_loss(router_probs: jnp.ndarray,
     reference quirk (swin.py:99 softmaxes, medmoe_module.py:305 then applies
     F.cross_entropy on the result, i.e. a double softmax)."""
     logprobs = jax.nn.log_softmax(router_probs.astype(jnp.float32), axis=-1)
-    return -jnp.mean(jnp.take_along_axis(logprobs, labels[:, None], axis=1))
+    onehot = jax.nn.one_hot(labels, logprobs.shape[-1], dtype=logprobs.dtype)
+    return -jnp.mean(jnp.sum(logprobs * onehot, axis=1))
 
 
 def router_accuracy(router_probs: jnp.ndarray, labels: jnp.ndarray
@@ -256,7 +287,7 @@ class GLORIALocalContrastiveLoss:
     text-chunked remat elsewhere. impl='xla'/'pallas' force a path;
     MEDMOE_GLORIA_IMPL overrides the config."""
 
-    def __init__(self, text_chunk: Optional[int] = 8, impl: str = "auto"):
+    def __init__(self, text_chunk: Any = "auto", impl: str = "auto"):
         self.text_chunk = text_chunk
         self.impl = impl
 

@@ -244,8 +244,13 @@ def _fwd(img_features, words_emb, cap_lens, temp1, temp2, temp3):
 
 
 def _bwd(temp1, temp2, temp3, residuals, g):
+    from medmoe_tpu.ops.losses import auto_text_chunk
+
     img_features, words_emb, cap_lens = residuals
-    chunk = TXT_BLOCK if img_features.shape[0] > TXT_BLOCK else None
+    b, _, h, w = img_features.shape
+    # memory-adaptive remat: no chunk loop at all when the whole batch's
+    # backward fits (B≤64 on v5e) — the lax.map loop serializes on device
+    chunk = auto_text_chunk(b, h * w, words_emb.shape[-1])
     _, vjp = jax.vjp(
         lambda im, wo: _sim_xla(im, wo, cap_lens, temp1, temp2, temp3,
                                 text_chunk=chunk),
