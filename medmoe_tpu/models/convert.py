@@ -73,18 +73,13 @@ def convert_hf_swin(sd: Dict[str, np.ndarray],
         for blk in range(depths[stage]):
             hf = f"{pre}encoder.layers.{stage}.blocks.{blk}"
             att = f"{hf}.attention"
-            qkv_w = np.concatenate([
-                sd[f"{att}.self.query.weight"].T,
-                sd[f"{att}.self.key.weight"].T,
-                sd[f"{att}.self.value.weight"].T], axis=1)
-            qkv_b = np.concatenate([
-                sd[f"{att}.self.query.bias"],
-                sd[f"{att}.self.key.bias"],
-                sd[f"{att}.self.value.bias"]])
             p[f"stage{stage}_block{blk}"] = {
                 "norm1": _layernorm(sd, f"{hf}.layernorm_before"),
                 "attn": {
-                    "qkv": {"kernel": qkv_w, "bias": qkv_b},
+                    # 1:1 with HF Swin's separate q/k/v projections
+                    "query": _linear(sd, f"{att}.self.query"),
+                    "key": _linear(sd, f"{att}.self.key"),
+                    "value": _linear(sd, f"{att}.self.value"),
                     "proj": _linear(sd, f"{att}.output.dense"),
                     "relative_position_bias_table":
                         sd[f"{att}.self.relative_position_bias_table"],

@@ -117,10 +117,17 @@ class WindowAttention(nn.Module):
         head_dim = self.dim // self.num_heads
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(3 * self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
-                       param_dtype=jnp.float32, name="qkv")(x)
-        qkv = qkv.reshape(nb, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]   # [nB, n, nH, hd]
+        # separate q/k/v projections (HF Swin's own structure): slicing a
+        # fused [.., 3, nH, hd] qkv tensor cost ~3.5 ms/step of pure layout
+        # copies in fwd+bwd at stage 0 (2048 windows); three dots fuse clean
+        def proj_to_heads(name):
+            y = nn.Dense(self.dim, use_bias=self.qkv_bias, dtype=self.dtype,
+                         param_dtype=jnp.float32, name=name)(x)
+            return y.reshape(nb, n, self.num_heads, head_dim)
+
+        q = proj_to_heads("query")
+        k = proj_to_heads("key")
+        v = proj_to_heads("value")                           # [nB, n, nH, hd]
 
         attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k,
                           preferred_element_type=jnp.float32)
