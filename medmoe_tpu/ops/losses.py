@@ -280,18 +280,25 @@ class HardNegativeContrastiveLoss:
 
 
 class GLORIALocalContrastiveLoss:
-    """impl='auto' (default): the fused Pallas similarity kernel on TPU
+    """impl='auto' (default): picks the faster path by per-device batch.
+
+    Small batches (B≤64, the unchunked-XLA regime): plain batched einsums —
+    XLA stores the [B,B,M,T] attention residuals in forward and reuses them
+    in backward, beating the Pallas-forward + rematerialized-backward combo
+    by ~4 ms/step at B=32 on v5e (measured on the full train step).
+
+    Large batches (B>64): the fused Pallas similarity kernel
     (medmoe_tpu/ops/pallas/gloria_attention.py — the [M,T] attention never
     leaves VMEM; measured 248 ms vs 332-448 ms XLA-chunked at B=256 on
-    v5e, where unchunked XLA OOMs outright), batched masked einsums with
-    text-chunked remat elsewhere. impl='xla'/'pallas' force a path;
-    MEDMOE_GLORIA_IMPL overrides the config."""
+    v5e, where unchunked XLA OOMs outright).
+
+    impl='xla'/'pallas' force a path; MEDMOE_GLORIA_IMPL overrides."""
 
     def __init__(self, text_chunk: Any = "auto", impl: str = "auto"):
         self.text_chunk = text_chunk
         self.impl = impl
 
-    def _resolve_impl(self, agg: str) -> str:
+    def _resolve_impl(self, agg: str, batch: int) -> str:
         import os
 
         impl = os.environ.get("MEDMOE_GLORIA_IMPL", self.impl)
@@ -299,13 +306,16 @@ class GLORIALocalContrastiveLoss:
             import jax
 
             on_tpu = jax.devices()[0].platform in ("tpu", "axon")
-            # the kernel computes the reference's default agg='sum' only
-            impl = "pallas" if (on_tpu and agg == "sum") else "xla"
+            # the kernel computes the reference's default agg='sum' only,
+            # and only pays off once the stored-residual XLA path no longer
+            # fits (auto_text_chunk starts chunking beyond B=64)
+            impl = "pallas" if (on_tpu and agg == "sum" and batch > 64) \
+                else "xla"
         return impl
 
     def __call__(self, img_features, words_emb, cap_lens, temp1=4.0,
                  temp2=5.0, temp3=10.0, agg="sum", idx=None, probs=None):
-        if self._resolve_impl(agg) == "pallas":
+        if self._resolve_impl(agg, img_features.shape[0]) == "pallas":
             from medmoe_tpu.ops.pallas.gloria_attention import \
                 gloria_similarity_pallas
 
