@@ -214,6 +214,21 @@ class ExpertBank(nn.Module):
         cfg = self.config
         dt = cfg.dtype
         p_max = max(f.shape[1] for f in pyramid)
+
+        from medmoe_tpu.ops.pallas.expert_fusion import use_fused_expert
+        if use_fused_expert([f.shape[1] for f in pyramid], p_max):
+            # fused Pallas path (TPU): whole branch in one kernel per
+            # direction, per-sample expert params selected by DMA index
+            # maps — see ops/pallas/expert_fusion.py
+            from medmoe_tpu.ops.pallas.expert_fusion import \
+                fused_expert_gather
+
+            return fused_expert_gather(
+                tuple(f.astype(dt) for f in pyramid),
+                tuple(self.proj_w), tuple(self.proj_b),
+                self.attn_w1, self.attn_b1, self.attn_w2, self.attn_b2,
+                expert_idx)
+
         onehot = jax.nn.one_hot(expert_idx, cfg.num_experts,
                                 dtype=jnp.float32)          # [B, K]
 

@@ -150,30 +150,31 @@ def _pick_txt_block(b: int) -> int:
 def _sim_forward(img_features: jnp.ndarray, words_emb: jnp.ndarray,
                  cap_lens: jnp.ndarray, temp1: float, temp2: float,
                  temp3: float) -> jnp.ndarray:
-    b, d, h, w = img_features.shape
+    b_img, d, h, w = img_features.shape
     m = h * w
-    t = words_emb.shape[-1]
-    txt_block = _pick_txt_block(b)
-    n_blocks = b // txt_block
+    b_txt = words_emb.shape[0]          # may differ from b_img under
+    t = words_emb.shape[-1]             # shard_map row sharding
+    txt_block = _pick_txt_block(b_txt)
+    n_blocks = b_txt // txt_block
     # per-text lane stride: Mosaic wants the words block's lane count
     # (txt_block·t_pad) divisible by 128 → pad each text to q-lane multiples
     import math as _math
 
     q = 128 // _math.gcd(txt_block, 128)
     t_pad = t if (txt_block * t) % 128 == 0 else -(-t // q) * q
-    ctx = img_features.reshape(b, d, m).astype(jnp.bfloat16)
+    ctx = img_features.reshape(b_img, d, m).astype(jnp.bfloat16)
     # flatten texts along lanes: [1, D, B*T_pad], text i at lane i·T_pad
     words = words_emb.astype(jnp.bfloat16)
     if t_pad != t:
         words = jnp.pad(words, ((0, 0), (0, 0), (0, t_pad - t)))
-    words = words.transpose(1, 0, 2).reshape(1, d, b * t_pad)
+    words = words.transpose(1, 0, 2).reshape(1, d, b_txt * t_pad)
 
     kernel = functools.partial(_sim_kernel, temp1=temp1, temp2=temp2,
                                temp3=temp3, txt_block=txt_block,
-                               t_pad=t_pad, b=b)
+                               t_pad=t_pad, b=b_txt)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(b, n_blocks),                   # (image, text-block)
+        grid=(b_img, n_blocks),               # (image, text-block)
         in_specs=[
             # constant over the minor text axis → fetched once per image
             pl.BlockSpec((1, d, m), lambda bi, tj, cap: (bi, 0, 0),
@@ -183,19 +184,20 @@ def _sim_forward(img_features: jnp.ndarray, words_emb: jnp.ndarray,
                          memory_space=pltpu.VMEM),
         ],
         # full row per image, lanes merged across the tj sweep
-        out_specs=pl.BlockSpec((1, 1, b), lambda bi, tj, cap: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, b_txt), lambda bi, tj, cap: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, 1, b), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b_img, 1, b_txt), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
-            flops=2 * 2 * b * b * m * t * d,
-            bytes_accessed=b * d * m * 2 + b * b * d * t * 2 + b * b * 4,
-            transcendentals=b * b * m * t),
+            flops=2 * 2 * b_img * b_txt * m * t * d,
+            bytes_accessed=b_img * d * m * 2 + b_img * b_txt * d * t * 2
+            + b_img * b_txt * 4,
+            transcendentals=b_img * b_txt * m * t),
     )(cap_lens.astype(jnp.int32), ctx, words)
     return out[:, 0, :]
 
@@ -207,6 +209,7 @@ def _sim_xla(img_features, words_emb, cap_lens, temp1, temp2, temp3,
     from medmoe_tpu.ops.losses import attention_fn, cosine_similarity
 
     b, d, h, w = img_features.shape
+    b_txt = words_emb.shape[0]          # rectangular under shard_map
     t = words_emb.shape[-1]
     context = img_features.reshape(b, d, h * w)
     word_mask = jnp.arange(t)[None, :] < cap_lens[:, None]
@@ -217,24 +220,52 @@ def _sim_xla(img_features, words_emb, cap_lens, temp1, temp2, temp3,
         row = jnp.where(mask_c[:, None, :], jnp.exp(row), 0.0)
         return jnp.log(jnp.sum(row, axis=-1))             # [c, B]
 
-    if text_chunk and b > text_chunk and b % text_chunk == 0:
-        nc = b // text_chunk
+    if text_chunk and b_txt > text_chunk and b_txt % text_chunk == 0:
+        nc = b_txt // text_chunk
         wc = words_emb.reshape(nc, text_chunk, d, t)
         mc = word_mask.reshape(nc, text_chunk, t)
         sim = jax.lax.map(jax.checkpoint(lambda args: block(*args)),
-                          (wc, mc)).reshape(b, b)
+                          (wc, mc)).reshape(b_txt, b)
     else:
         sim = block(words_emb, word_mask)
     return sim.T * temp3                                  # [img, text]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gloria_similarity_core(img_features, words_emb, cap_lens,
+                            temp1=4.0, temp2=5.0, temp3=10.0):
+    return _sim_forward(img_features, words_emb, cap_lens, temp1, temp2,
+                        temp3)
+
+
 def gloria_similarity_pallas(img_features, words_emb, cap_lens,
                              temp1=4.0, temp2=5.0, temp3=10.0):
     """[B_img, B_text] GLoRIA similarity matrix, Pallas forward + XLA-remat
-    backward."""
-    return _sim_forward(img_features, words_emb, cap_lens, temp1, temp2,
-                        temp3)
+    backward.
+
+    Under an ambient SPMD mesh (parallel/spmd.py) the image axis is
+    sharded over the data axis via shard_map while texts ride replicated:
+    each chip computes its [B/n, B] row block (the image-resident grid
+    already iterates images in the major axis, so the kernel is unchanged).
+    Text cotangents from each shard are psum'd by shard_map's transpose.
+    Without this, GSPMD would replicate the whole kernel on every chip.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from medmoe_tpu.parallel.spmd import current_spmd
+
+    ctx = current_spmd()
+    if ctx is None:
+        return _gloria_similarity_core(img_features, words_emb, cap_lens,
+                                       temp1, temp2, temp3)
+    row = P(ctx.data_axis)
+    rep = P()
+    return jax.shard_map(
+        functools.partial(_gloria_similarity_core, temp1=temp1,
+                          temp2=temp2, temp3=temp3),
+        mesh=ctx.mesh, in_specs=(row, rep, rep), out_specs=row,
+        check_vma=False,
+    )(img_features, words_emb, cap_lens)
 
 
 def _fwd(img_features, words_emb, cap_lens, temp1, temp2, temp3):
@@ -248,9 +279,17 @@ def _bwd(temp1, temp2, temp3, residuals, g):
 
     img_features, words_emb, cap_lens = residuals
     b, _, h, w = img_features.shape
+    b_txt = words_emb.shape[0]
     # memory-adaptive remat: no chunk loop at all when the whole batch's
-    # backward fits (B≤64 on v5e) — the lax.map loop serializes on device
+    # backward fits (B≤64 on v5e) — the lax.map loop serializes on device.
+    # Peak memory scales with the IMAGE count (the [c, B_img, M, T] block);
+    # the chunk must divide the TEXT count (rectangular under shard_map).
     chunk = auto_text_chunk(b, h * w, words_emb.shape[-1])
+    if chunk is not None and b_txt != b:
+        chunk = next((c for c in range(min(chunk, b_txt), 0, -1)
+                      if b_txt % c == 0), 1)
+        if chunk >= b_txt:
+            chunk = None
     _, vjp = jax.vjp(
         lambda im, wo: _sim_xla(im, wo, cap_lens, temp1, temp2, temp3,
                                 text_chunk=chunk),
@@ -259,4 +298,4 @@ def _bwd(temp1, temp2, temp3, residuals, g):
     return d_img, d_words, None
 
 
-gloria_similarity_pallas.defvjp(_fwd, _bwd)
+_gloria_similarity_core.defvjp(_fwd, _bwd)

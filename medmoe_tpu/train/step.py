@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from medmoe_tpu.parallel.spmd import spmd_context
 from medmoe_tpu.train.state import TrainState
 
 
@@ -43,6 +44,12 @@ def build_train_step(module, mesh: Optional[Mesh] = None,
     def step_fn(state: TrainState, batch: Dict[str, jnp.ndarray],
                 rng: jax.Array, tool
                 ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # declare the ambient mesh at trace time so Pallas wrappers can
+        # shard_map themselves over the data axis (parallel/spmd.py)
+        with spmd_context(mesh):
+            return _step_body(state, batch, rng, tool)
+
+    def _step_body(state, batch, rng, tool):
         grad_fn = jax.grad(loss_for_micro, has_aux=True)
 
         if accum_steps > 1:
@@ -108,7 +115,9 @@ def build_eval_step(module, mesh: Optional[Mesh] = None) -> Callable:
 
     def eval_fn(params, batch, tool):
         kw = {"tool_params": tool} if uses_tool else {}
-        _, metrics = module.loss_fn(params, batch, deterministic=True, **kw)
+        with spmd_context(mesh):
+            _, metrics = module.loss_fn(params, batch, deterministic=True,
+                                        **kw)
         return metrics
 
     if mesh is not None:
