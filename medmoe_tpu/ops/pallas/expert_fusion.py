@@ -258,11 +258,16 @@ def _bwd_kernel(idx_ref, *refs, n_scales: int, p_max: int,
             return h
         return _dot(gs[s][...], h, ((1,), (0,))).astype(jnp.bfloat16)
 
-    logits, datts = [], []
+    # the bf16 [P, H] attention activations are kept across the two passes
+    # (S·P·H bf16 ≈ 9.6 MB at flagship shapes — fits the VMEM budget, and
+    # a>0 ⟺ pre-activation>0 so the ReLU mask needs no f32 copy); the
+    # [P, E] upsampled maps do NOT fit and are recomputed instead
+    logits, datts, acts = [], [], []
     for s in range(s_count):
         u = recompute_u(s)
         a = _dot(u, w1, ((1,), (0,)))
         a = jax.nn.relu(a + b1).astype(jnp.bfloat16)
+        acts.append(a)
         prod = a.astype(jnp.float32) * w2.astype(jnp.float32)
         logits.append(jnp.sum(prod, axis=1, keepdims=True))
         datts.append(jnp.sum(d_out * u.astype(jnp.float32), axis=1,
@@ -284,14 +289,13 @@ def _bwd_kernel(idx_ref, *refs, n_scales: int, p_max: int,
     dw2_acc = jnp.zeros((1, w1.shape[1]), jnp.float32)
     for s in range(s_count):
         u = recompute_u(s)
-        # attention MLP recompute (pre-cast f32 kept for the relu mask)
-        a_pre = _dot(u, w1, ((1,), (0,))) + b1       # [P, H] f32
-        a = jax.nn.relu(a_pre).astype(jnp.bfloat16)
+        a = acts[s]                                  # [P, H] bf16 (pass 1)
         dl_s = d_l[:, s:s + 1]                       # [P, 1]
         dw2_acc = dw2_acc + jnp.sum(a.astype(jnp.float32) * dl_s, axis=0,
                                     keepdims=True)
         d_a = dl_s * w2.astype(jnp.float32)          # [P, H]
-        dz_a = jnp.where(a_pre > 0, d_a, 0.0)
+        # (f32 compare: Mosaic has no bf16 vector compare on this target)
+        dz_a = jnp.where(a.astype(jnp.float32) > 0, d_a, 0.0)
         db1_acc = db1_acc + jnp.sum(dz_a, axis=0, keepdims=True)
         dz_bf = dz_a.astype(jnp.bfloat16)
         dw1_acc = dw1_acc + _dot(u, dz_bf, ((0,), (0,)))      # [E, H]
