@@ -16,6 +16,15 @@ TPU-native design choices (vs. a torch port):
     MXU via ``preferred_element_type``.
   * No data-dependent control flow — the whole tower is one fused XLA program.
 
+Why window attention stays in XLA (measured on v5e, B=32): the [49, 32]
+per-window matmuls underutilize the MXU, but every alternative loses more —
+XLA-level packing of G windows into one [G·49, G·49] masked attention makes
+the matmuls efficient yet multiplies the materialized f32 logits (and the
+softmax transcendental count) by G (+8 ms/step at G=4); a fused Pallas
+kernel with VMEM-resident logits and strip-softmax still ran ~3× slower
+than XLA's batched form (per-head small-dot granularity dominates Mosaic
+codegen). XLA's batched small matmuls are the best known shape here.
+
 Weight layout maps 1:1 onto the HF checkpoint via
 medmoe_tpu/models/convert.py for MedCLIP/ImageNet initialization
 (reference med_moe.py:40-62 checkpoint remap).
