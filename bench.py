@@ -216,6 +216,47 @@ def measure_e2e(module, cfg, mesh, state, step, global_batch, n_chips):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def measure_host_pipeline(cfg, global_batch):
+    """tar shards → decode/tokenize/collate throughput, NO device involved.
+
+    Separates the input pipeline from the harness tunnel: when this rate
+    exceeds the compute rate, the pipeline would keep a real (PCIe-attached)
+    chip fed and the e2e gap here is tunnel transfer, not host work.
+    """
+    import shutil
+    import tempfile
+
+    steps = int(os.environ.get("MEDMOE_BENCH_HOST_STEPS", "16"))
+    warmup = 2
+    vision = cfg.model.model.vision
+    root = tempfile.mkdtemp(prefix="medmoe_bench_host_")
+    try:
+        from medmoe_tpu.data.datamodules import UnimedDataModule
+
+        urls = _write_bench_shards(root, (steps + warmup + 1) * global_batch,
+                                   int(vision.image_size))
+        dm = UnimedDataModule(
+            train_data_paths=urls, batch_size=global_batch,
+            image_size=int(vision.image_size),
+            max_length=int(cfg.model.model.text.max_length),
+            resampled=False, shuffle_buffer=0, num_workers=4,
+            emit_uint8=True)
+        t0 = None
+        n_done = 0
+        for i, batch in enumerate(dm.train_dataloader(0)):
+            if i + 1 == warmup:
+                t0 = time.perf_counter()
+            elif i >= warmup:
+                n_done += 1
+            if i >= warmup + steps:
+                break
+        if t0 is None or n_done == 0:
+            return None
+        return global_batch * n_done / (time.perf_counter() - t0)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     mode = os.environ.get("MEDMOE_BENCH_MODE", "both")
     module, cfg, mesh, state, step, batch, global_batch, n_chips = _setup()
@@ -225,9 +266,11 @@ def main() -> None:
     mfu, flops = measure_mfu(state, step, batch, step_time, n_chips)
 
     e2e = None
+    host = None
     if mode in ("both", "e2e"):
         e2e = measure_e2e(module, cfg, mesh, state, step, global_batch,
                           n_chips)
+        host = measure_host_pipeline(cfg, global_batch)
 
     out = {
         "metric": "pretraining image-text pairs/sec/chip "
@@ -242,6 +285,11 @@ def main() -> None:
         out["e2e_value"] = round(e2e, 2)
         out["e2e_note"] = ("tar->decode->tokenize->device->step; harness "
                            "tunnel caps host->device at ~35MB/s")
+    if host is not None:
+        out["host_pipeline_value"] = round(host, 2)
+        out["host_note"] = ("tar->decode->tokenize->collate pairs/sec, no "
+                            "device: shows the input pipeline outruns the "
+                            "chip; the e2e gap is tunnel transfer")
     if flops is not None:
         out["xla_flops_per_step_G"] = round(flops / 1e9, 1)
     if mfu is not None:
