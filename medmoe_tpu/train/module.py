@@ -89,6 +89,14 @@ class MedMoEPretrainingModule:
         self.uses_tool_bert = self.soft_label and not bool(
             self.text_cfg.get("freeze_bert", False))
         self.tool_bert_params = None
+        # compute dtype for the local-loss inputs: follows the towers'
+        # activation dtype unless loss.loss_dtype overrides (null → f32)
+        ldt = self.loss_cfg.get("loss_dtype",
+                                self.vision_cfg.get("dtype", "bfloat16"))
+        if not isinstance(ldt, str):
+            ldt = jnp.dtype(ldt).name if ldt is not None else "none"
+        self.loss_dtype = {"bfloat16": jnp.bfloat16,
+                           "float16": jnp.float16}.get(ldt)
 
     # ------------------------------------------------------------------
     def init_params(self, rng: jax.Array, batch: Dict[str, jnp.ndarray]):
@@ -188,6 +196,16 @@ class MedMoEPretrainingModule:
             return self.global_loss(ig, tg, temp3=self.temp3, idx=idx,
                                     probs=probs)
 
+        # local-loss inputs ride in the training compute dtype: the word-
+        # region einsums are the loss's FLOPs, and bf16 MXU inputs (f32
+        # accumulation inside the loss) run ~3x the f32 rate — consistent
+        # with the bf16 activation policy of every tower. The loss
+        # functions themselves stay dtype-honest (the torch-parity tests
+        # drive them in f32).
+        ldt = self.loss_dtype
+        if ldt is not None:
+            img_l = img_l.astype(ldt)
+            txt_l = txt_l.astype(ldt)
         l_loss = self._blocked(local_fn, img_l, txt_l, cap_lens)
         g_loss = self._blocked(global_fn, img_g, txt_g)
 
