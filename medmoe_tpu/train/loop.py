@@ -192,7 +192,17 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, module, datamodule, ckpt_path: Optional[str] = None) -> None:
         if self.detect_anomaly:
+            # scoped like Lightning's detect_anomaly: restore on exit so one
+            # fit() doesn't poison later jax programs in the same process
+            prev_debug_nans = jax.config.jax_debug_nans
             jax.config.update("jax_debug_nans", True)
+            try:
+                return self._fit(module, datamodule, ckpt_path)
+            finally:
+                jax.config.update("jax_debug_nans", prev_debug_nans)
+        return self._fit(module, datamodule, ckpt_path)
+
+    def _fit(self, module, datamodule, ckpt_path: Optional[str] = None) -> None:
         self._install_signal_handlers()
         self.module = module
         rng = jax.random.PRNGKey(self.seed)

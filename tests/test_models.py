@@ -173,3 +173,30 @@ class TestScheduler:
         assert abs(lr - 0.1) < 1e-9
         lr = sched.step(0.5, lr)   # improvement resets
         assert abs(lr - 0.1) < 1e-9
+
+
+class TestLossDtype:
+    """loss.loss_dtype: the local-loss inputs ride the towers' compute
+    dtype on the train path (train/module.py) — value drift vs f32 must be
+    bf16-rounding-sized, and null must keep f32 exactly."""
+
+    def test_bf16_close_to_f32_and_null_exact(self):
+        import jax
+
+        from tests.helpers import tiny_batch, tiny_module
+
+        batch, _ = tiny_batch()
+        mod_f32 = tiny_module()
+        params = jax.jit(mod_f32.init_params)(jax.random.PRNGKey(0), batch)
+        assert mod_f32.loss_dtype is None          # tiny vision dtype=f32
+
+        mod_bf16 = tiny_module(loss_dtype="bfloat16")
+        assert mod_bf16.loss_dtype == jnp.bfloat16
+        l32, m32 = jax.jit(mod_f32.loss_fn)(params, batch)
+        l16, m16 = jax.jit(mod_bf16.loss_fn)(params, batch)
+        np.testing.assert_allclose(float(l16), float(l32), rtol=2e-2)
+        # only the local term may drift; global/classifier identical
+        np.testing.assert_allclose(float(m16["g_loss"]),
+                                   float(m32["g_loss"]), rtol=1e-6)
+        np.testing.assert_allclose(float(m16["c_loss"]),
+                                   float(m32["c_loss"]), rtol=1e-6)

@@ -64,6 +64,10 @@ class TestTrainCLI:
                         "trainer.accumulate_grad_batches=1",
                         "trainer.num_sanity_val_steps=0",
                         "trainer.check_val_every_n_epoch=100",
+                        # 12 steps at the training lr (5e-5) barely move a
+                        # random tiny model — the sign of the loss delta was
+                        # init-noise; overfit at a rate that actually learns
+                        "model.optimizer.lr=0.001",
                         "~callbacks.early_stopping"])
         _, objs = train(compose("train", overrides))
         history = objs["trainer"].metrics_history
