@@ -245,10 +245,6 @@ def _bwd_kernel(idx_ref, *refs, n_scales: int, p_max: int,
     d_out = dout_ref[0]                              # [P, E] f32
 
     # ---- forward recompute (identical chain to _fwd_kernel) -------------
-    # u_s is recomputed per scale in BOTH passes instead of stored across
-    # them: keeping all S upsampled [P, E] maps resident blew the VMEM
-    # budget (117 MB > the 100 MB scoped limit); one extra proj+interp
-    # matmul per scale is ~3 GMAC/sample of MXU noise.
     def recompute_u(s):
         x = xs[s][0]
         w = ws[s][0]
@@ -258,13 +254,14 @@ def _bwd_kernel(idx_ref, *refs, n_scales: int, p_max: int,
             return h
         return _dot(gs[s][...], h, ((1,), (0,))).astype(jnp.bfloat16)
 
-    # the bf16 [P, H] attention activations are kept across the two passes
-    # (S·P·H bf16 ≈ 9.6 MB at flagship shapes — fits the VMEM budget, and
-    # a>0 ⟺ pre-activation>0 so the ReLU mask needs no f32 copy); the
-    # [P, E] upsampled maps do NOT fit and are recomputed instead
-    logits, datts, acts = [], [], []
+    # the bf16 upsampled maps ([P, E]) and attention activations ([P, H])
+    # are kept across the two passes (~29 MB together at flagship shapes,
+    # within the 114 MB scoped-vmem limit); a>0 ⟺ pre-activation>0 so the
+    # ReLU mask needs no f32 copy
+    logits, datts, acts, umaps = [], [], [], []
     for s in range(s_count):
         u = recompute_u(s)
+        umaps.append(u)
         a = _dot(u, w1, ((1,), (0,)))
         a = jax.nn.relu(a + b1).astype(jnp.bfloat16)
         acts.append(a)
@@ -288,7 +285,7 @@ def _bwd_kernel(idx_ref, *refs, n_scales: int, p_max: int,
     db1_acc = jnp.zeros((1, w1.shape[1]), jnp.float32)
     dw2_acc = jnp.zeros((1, w1.shape[1]), jnp.float32)
     for s in range(s_count):
-        u = recompute_u(s)
+        u = umaps[s]                                 # [P, E] bf16 (pass 1)
         a = acts[s]                                  # [P, H] bf16 (pass 1)
         dl_s = d_l[:, s:s + 1]                       # [P, 1]
         dw2_acc = dw2_acc + jnp.sum(a.astype(jnp.float32) * dl_s, axis=0,
@@ -400,7 +397,7 @@ def _bwd_pallas(xs, wp, bp, w1, b1, w2, expert_idx, interp_mats, d_out):
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=114 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=6 * flops_attn,
             bytes_accessed=2 * b * p_max * e * 4,
