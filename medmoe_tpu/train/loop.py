@@ -16,6 +16,7 @@ import time
 from typing import Any, Dict, Iterable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from medmoe_tpu.data.prefetch import prefetch
@@ -23,6 +24,19 @@ from medmoe_tpu.parallel.mesh import make_mesh
 from medmoe_tpu.parallel.sharding import param_shardings, shard_batch
 from medmoe_tpu.train.optim import get_learning_rate, set_learning_rate
 from medmoe_tpu.train.state import TrainState
+
+
+def _aggregate_metric_buffers(buffers: Dict[str, List]) -> Dict[str, float]:
+    """Mean per key over buffered per-step DEVICE scalars.
+
+    Each key's list is stacked ON DEVICE first so the host pull is one
+    transfer per key instead of one per step — per-scalar fetches cost a
+    full interconnect round-trip each (measured: ~35 ms/step of pure fetch
+    latency at 20-step epochs on a tunneled chip)."""
+    stacked = {k: jnp.stack(v) if isinstance(v, (list, tuple)) else v
+               for k, v in buffers.items()}
+    host = jax.device_get(stacked)
+    return {k: float(np.mean(a)) for k, a in host.items()}
 from medmoe_tpu.train.step import build_eval_step, build_train_step
 from medmoe_tpu.utils.checkpoint import restore_checkpoint
 from medmoe_tpu.utils.logging import get_logger
@@ -283,7 +297,10 @@ class Trainer:
             if self.overfit_batches:
                 if not overfit_cache:
                     for batch in datamodule.train_dataloader(epoch=0):
-                        overfit_cache.append(batch)
+                        # cache DEVICE-placed batches: overfit replays the
+                        # same data every step, so re-shipping it from the
+                        # host each time only measures the interconnect
+                        overfit_cache.append(shard_batch(batch, self.mesh))
                         if len(overfit_cache) >= self.overfit_batches:
                             break
                 train_iter: Iterable = iter(list(overfit_cache))
@@ -358,8 +375,7 @@ class Trainer:
             # one device→host pull for the whole epoch's buffered metrics;
             # this also drains the async dispatch queue, so train_time below
             # is honest wall-clock for the train phase only (val excluded)
-            agg = {k: float(np.mean(jax.device_get(v)))
-                   for k, v in epoch_metrics.items()}
+            agg = _aggregate_metric_buffers(epoch_metrics)
             train_time = time.time() - t_epoch
             if (epoch + 1) % self.check_val_every_n_epoch == 0:
                 val = self.validate(datamodule, eval_step)
@@ -416,8 +432,7 @@ class Trainer:
             metrics = eval_step(self.state.params, batch)
             for k, v in metrics.items():
                 sums.setdefault(f"val/{k}", []).append(v)
-        return {k: float(np.mean(jax.device_get(v)))
-                for k, v in sums.items()}
+        return _aggregate_metric_buffers(sums)
 
     def test(self, module, datamodule,
              ckpt_path: Optional[str] = None) -> Dict[str, float]:
@@ -441,7 +456,6 @@ class Trainer:
             metrics = eval_step(self.state.params, batch)
             for k, v in metrics.items():
                 sums.setdefault(f"test/{k}", []).append(v)
-        out = {k: float(np.mean(jax.device_get(v)))
-               for k, v in sums.items()}
+        out = _aggregate_metric_buffers(sums)
         self._log(out, int(self.state.step))
         return out
