@@ -10,7 +10,6 @@ detect_anomaly (jax.debug_nans), check_val_every_n_epoch, profiler.
 
 from __future__ import annotations
 
-import math
 import os
 import time
 from typing import Any, Dict, Iterable, List, Optional
@@ -26,6 +25,13 @@ from medmoe_tpu.train.optim import get_learning_rate, set_learning_rate
 from medmoe_tpu.train.state import TrainState
 
 
+from medmoe_tpu.train.step import build_eval_step, build_train_step
+from medmoe_tpu.utils.checkpoint import restore_checkpoint
+from medmoe_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+
 def _aggregate_metric_buffers(buffers: Dict[str, List]) -> Dict[str, float]:
     """Mean per key over buffered per-step DEVICE scalars.
 
@@ -37,11 +43,6 @@ def _aggregate_metric_buffers(buffers: Dict[str, List]) -> Dict[str, float]:
                for k, v in buffers.items()}
     host = jax.device_get(stacked)
     return {k: float(np.mean(a)) for k, a in host.items()}
-from medmoe_tpu.train.step import build_eval_step, build_train_step
-from medmoe_tpu.utils.checkpoint import restore_checkpoint
-from medmoe_tpu.utils.logging import get_logger
-
-log = get_logger(__name__)
 
 
 def _limit(iterable: Iterable, limit: Optional[float],
