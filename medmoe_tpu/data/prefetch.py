@@ -55,8 +55,20 @@ def prefetch(iterable: Iterable, depth: int = 2,
     stop = threading.Event()
 
     def worker():
+        it = iter(iterable)
         try:
-            for item in iterable:
+            while True:
+                # check stop BEFORE pulling: a consumer that exited early
+                # shouldn't trigger one more (possibly expensive) decode.
+                # A source blocked inside next() (shard fetch, IO) still
+                # runs until its next item — documented limitation.
+                if stop.is_set():
+                    return
+                try:
+                    item = next(it)
+                except StopIteration:
+                    _put_final(_SENTINEL)
+                    return
                 if transform is not None:
                     item = transform(item)
                 # bounded-wait put so a stopped consumer can't strand us
@@ -68,9 +80,17 @@ def prefetch(iterable: Iterable, depth: int = 2,
                         continue
                 if stop.is_set():
                     return
-            _put_final(_SENTINEL)
         except BaseException as exc:    # propagate to the consumer
             _put_final(_WorkerError(exc))
+        finally:
+            # release the source's resources (file handles, decode pools)
+            # promptly instead of waiting for GC — generators expose close()
+            close = getattr(it, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
 
     def _put_final(item):
         while not stop.is_set():

@@ -45,7 +45,9 @@ class OneHotEmbed(nn.Embed):
     0.0; Precision.HIGHEST keeps the f32 row bit-faithful through the MXU
     pass decomposition). On TPU the forward gather and — far worse — its
     scatter-add vjp (the embedding-table gradient) fall off the vector
-    units; as matmuls both directions ride the MXU.
+    units; as matmuls both directions ride the MXU. ONLY for tiny tables
+    (token types): at word-vocab size the [B·T, V] one-hot is a ~0.5 GB
+    HBM transient — use GatherEmbed there.
     """
 
     def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
@@ -54,6 +56,44 @@ class OneHotEmbed(nn.Embed):
             onehot, self.embedding.astype(jnp.float32),
             dimension_numbers=(((onehot.ndim - 1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST)
+
+
+@jax.custom_vjp
+def _gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
+    return jnp.take(table, ids, axis=0)
+
+
+def _gather_rows_fwd(table, ids):
+    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+
+
+def _gather_rows_bwd(residuals, g):
+    ids, n_rows = residuals
+    # the table gradient as a one-hot contraction instead of take's vjp (a
+    # serialized scatter-add off the vector units). One-hot entries are
+    # exactly 1.0/0.0 so each row's contribution is g's row verbatim; the
+    # f32 accumulation matches scatter-add up to summation order.
+    onehot = jax.nn.one_hot(ids.reshape(-1), n_rows, dtype=jnp.float32)
+    d_table = jax.lax.dot_general(
+        onehot, g.reshape(-1, g.shape[-1]).astype(jnp.float32),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return d_table, None
+
+
+_gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
+class GatherEmbed(nn.Embed):
+    """``nn.Embed`` for LARGE tables (the word vocab): forward stays the
+    plain row gather (one [B·T]-row DMA — cheap), only the backward runs as
+    the one-hot matmul. The [B·T, V] one-hot therefore exists only inside
+    the fused backward matmul instead of being a forward HBM transient, and
+    the table gradient still rides the MXU instead of take's scatter-add
+    vjp (ADVICE r2: the forward one-hot cost ~0.5 GB at B=32, T=128)."""
+
+    def __call__(self, inputs: jnp.ndarray) -> jnp.ndarray:
+        return _gather_rows(self.embedding.astype(jnp.float32), inputs)
 
 
 class SliceEmbed(nn.Embed):
@@ -71,7 +111,7 @@ class BertEmbeddings(nn.Module):
     def __call__(self, input_ids, token_type_ids):
         cfg = self.config
         b, t = input_ids.shape
-        word = OneHotEmbed(cfg.vocab_size, cfg.hidden_size,
+        word = GatherEmbed(cfg.vocab_size, cfg.hidden_size,
                            param_dtype=jnp.float32,
                            name="word_embeddings")(input_ids)
         pos = SliceEmbed(cfg.max_position_embeddings, cfg.hidden_size,

@@ -403,7 +403,7 @@ def make_dispatch_tensors(expert_idx: jnp.ndarray, weights: jnp.ndarray,
 
     Position-in-expert is the running count of earlier assignments routed
     to the same expert (exclusive cumsum, sample-major over the flattened
-    [B·k] list — the same deterministic order as ``make_dispatch``).
+    [B·k] list — deterministic and order-preserving, all static shapes).
     Capacity-dropped assignments simply vanish from both tensors: every
     step is one-hot outer products and reductions, never a scatter.
     """
@@ -423,41 +423,6 @@ def make_dispatch_tensors(expert_idx: jnp.ndarray, weights: jnp.ndarray,
         jnp.einsum("bjkc,bj->bkc", assign, weights.astype(jnp.float32)),
         (1, 2, 0))                                               # [K, C, B]
     return dispatch, combine
-
-
-def make_dispatch(expert_idx: jnp.ndarray, num_experts: int, capacity: int):
-    """Capacity-based dispatch plan (the classic MoE dispatch), top-k aware:
-
-    expert_idx [B] or [B, k] → (dispatch_idx [K, C] FLAT assignment index
-                                per slot (sample-major: b·k + slot; equal to
-                                the sample index when k=1),
-                                slot_valid [K, C] bool,
-                                kept — bool, same shape as expert_idx,
-                                False for capacity-dropped assignments).
-
-    Position-in-expert is the running count of earlier assignments routed to
-    the same expert (exclusive cumsum over the one-hot matrix), walking the
-    flattened [B·k] assignment list in sample-major order — deterministic,
-    order-preserving, all static shapes.
-    """
-    in_shape = expert_idx.shape
-    flat_expert = expert_idx.reshape(-1)                         # [B·k]
-    n = flat_expert.shape[0]
-    onehot = jax.nn.one_hot(flat_expert, num_experts, dtype=jnp.int32)
-    position = jnp.cumsum(onehot, axis=0) - onehot               # [B·k, K]
-    pos_in_expert = jnp.sum(position * onehot, axis=1)           # [B·k]
-    kept = pos_in_expert < capacity
-
-    # scatter assignment index into its (expert, slot) cell; dropped
-    # assignments get an out-of-bounds slot so mode="drop" discards them
-    flat_slot = jnp.where(kept, flat_expert * capacity + pos_in_expert,
-                          num_experts * capacity)
-    dispatch = jnp.full((num_experts * capacity,), -1, jnp.int32)
-    dispatch = dispatch.at[flat_slot].set(jnp.arange(n, dtype=jnp.int32),
-                                          mode="drop")
-    dispatch_idx = dispatch.reshape(num_experts, capacity)
-    slot_valid = dispatch_idx >= 0
-    return jnp.maximum(dispatch_idx, 0), slot_valid, kept.reshape(in_shape)
 
 
 class MoE(nn.Module):

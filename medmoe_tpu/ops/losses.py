@@ -259,14 +259,14 @@ def router_accuracy(router_probs: jnp.ndarray, labels: jnp.ndarray
 # --------------------------------------------------------------------------
 
 class GLORIAGlobalContrastiveLoss:
-    def __call__(self, cnn_code, rnn_code, temp3=10.0, idx=None, probs=None):
+    def __call__(self, cnn_code, rnn_code, temp3=10.0, scores=None, thresholds=None):
         return gloria_global_loss(cnn_code, rnn_code, temp3)
 
 
 class ZEROGlobalContrastiveLoss:
     """Ablation stub returning 0 (reference losses.py:740-755)."""
 
-    def __call__(self, cnn_code, rnn_code, temp3=10.0, idx=None, probs=None):
+    def __call__(self, cnn_code, rnn_code, temp3=10.0, scores=None, thresholds=None):
         return jnp.asarray(0.0)
 
 
@@ -275,7 +275,7 @@ class HardNegativeContrastiveLoss:
         self.nmax = nmax
         self.margin = margin
 
-    def __call__(self, imgs, caps, temp3=10.0, idx=None, probs=None):
+    def __call__(self, imgs, caps, temp3=10.0, scores=None, thresholds=None):
         return hard_negative_loss(imgs, caps, self.nmax, self.margin)
 
 
@@ -314,7 +314,7 @@ class GLORIALocalContrastiveLoss:
         return impl
 
     def __call__(self, img_features, words_emb, cap_lens, temp1=4.0,
-                 temp2=5.0, temp3=10.0, agg="sum", idx=None, probs=None):
+                 temp2=5.0, temp3=10.0, agg="sum", scores=None, thresholds=None):
         if self._resolve_impl(agg, img_features.shape[0]) == "pallas":
             from medmoe_tpu.ops.pallas.gloria_attention import \
                 gloria_similarity_pallas
@@ -331,7 +331,7 @@ class GLORIALocalContrastiveLoss:
 
 class ZEROLocalContrastiveLoss:
     def __call__(self, img_features, words_emb, cap_lens, temp1=4.0,
-                 temp2=5.0, temp3=10.0, agg="sum", idx=None, probs=None):
+                 temp2=5.0, temp3=10.0, agg="sum", scores=None, thresholds=None):
         zero = jnp.asarray(0.0)
         return GloriaLocalOutput(loss0=zero, loss1=zero)
 
@@ -347,9 +347,9 @@ class SoftGLORIAGlobalContrastiveLoss:
     over positives then anchors.
     """
 
-    def __call__(self, cnn_code, rnn_code, temp3=10.0, idx=None, probs=None):
-        scores_text = idx                   # [B, B] tool-BERT text similarity
-        thr_pos, thr_neg = probs
+    def __call__(self, cnn_code, rnn_code, temp3=10.0, scores=None, thresholds=None):
+        scores_text = scores                # [B, B] tool-BERT text similarity
+        thr_pos, thr_neg = thresholds
         b = cnn_code.shape[0]
         cnn = cnn_code.astype(jnp.float32)
         rnn = rnn_code.astype(jnp.float32)
@@ -390,7 +390,7 @@ class SoftGLORIALocalContrastiveLoss:
     soft-partitioned CE of SoftGLORIAGlobalContrastiveLoss."""
 
     def __call__(self, img_features, words_emb, cap_lens, temp1=4.0,
-                 temp2=5.0, temp3=10.0, agg="sum", idx=None, probs=None):
+                 temp2=5.0, temp3=10.0, agg="sum", scores=None, thresholds=None):
         b, d, h, w = img_features.shape
         t = words_emb.shape[-1]
         context = img_features.reshape(b, d, h * w)
@@ -402,8 +402,8 @@ class SoftGLORIALocalContrastiveLoss:
         sim = jnp.log(jnp.sum(row_sim, axis=-1)) * temp3     # [text, img]
         similarities = sim.T                                 # [img, text]
 
-        scores_text = idx                  # [B, B] tool-BERT text similarity
-        thr_pos, thr_neg = probs
+        scores_text = scores               # [B, B] tool-BERT text similarity
+        thr_pos, thr_neg = thresholds
         pos_mask = scores_text > thr_pos
         neg_mask = scores_text <= thr_neg
 

@@ -176,7 +176,13 @@ def _fwd_pallas(xs, wp, bp, w1, b1, w2, expert_idx, interp_mats):
     for bias in bp:                                  # proj biases [K, E]
         in_specs.append(pl.BlockSpec((1, 1, e),
                                      lambda bi, idx: (idx[bi], 0, 0)))
-        args.append(bias.reshape(k, 1, e))
+        # round through bf16 first: the XLA path's per-sample parameter
+        # pick casts biases to the compute dtype before the f32 upcast, and
+        # the backward recompute does the same — all three chains must see
+        # identical bias values or the recomputed ReLU masks and softmax
+        # weights drift from the forward actually evaluated
+        args.append(bias.reshape(k, 1, e).astype(jnp.bfloat16)
+                    .astype(jnp.float32))
     for m in interp_mats:                            # interp matrices
         if m is not None:
             in_specs.append(pl.BlockSpec(m.shape, lambda bi, idx: (0, 0)))

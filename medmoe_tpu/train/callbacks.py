@@ -101,6 +101,34 @@ class EarlyStopping(Callback):
                 self._stop = True
 
 
+class ProgressBar(Callback):
+    """Per-epoch progress line (the reference's RichProgressBar analogue,
+    reference configs/callbacks/rich_progress_bar.yaml). The TPU trainer's
+    hot loop is deliberately non-blocking (metrics stay on device), so
+    progress renders once per epoch: epoch counter, wall time, throughput,
+    and the monitored losses."""
+
+    def __init__(self, refresh_rate: int = 1):
+        self.refresh_rate = max(int(refresh_rate), 1)
+        self._n = 0
+
+    def on_epoch_end(self, trainer, epoch: int,
+                     metrics: Dict[str, float]) -> None:
+        self._n += 1
+        if self._n % self.refresh_rate:
+            return
+        total = getattr(trainer, "max_epochs", "?")
+        parts = [f"epoch {epoch + 1}/{total}"]
+        if "epoch_time_s" in metrics:
+            parts.append(f"{metrics['epoch_time_s']:.1f}s")
+        if "pairs_per_sec" in metrics:
+            parts.append(f"{metrics['pairs_per_sec']:.1f} pairs/s")
+        for key in ("train/loss", "val/loss"):
+            if key in metrics:
+                parts.append(f"{key}={metrics[key]:.4f}")
+        print(" | ".join(parts), flush=True)
+
+
 class ModelSummary(Callback):
     """Logs parameter counts at train start (reference RichModelSummary +
     log_hyperparameters param counts, src/utils/logging_utils.py:33-57)."""

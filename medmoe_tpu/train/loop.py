@@ -297,11 +297,17 @@ class Trainer:
 
             if self.overfit_batches:
                 if not overfit_cache:
+                    # cache DEVICE-placed batches: overfit replays the same
+                    # data every step, so re-shipping it from the host each
+                    # time only measures the interconnect. With accumulation
+                    # the loop stacks windows on the HOST (np.stack), which
+                    # would pull device buffers back every step — cache host
+                    # arrays there instead (mirrors the prefetch-transform
+                    # condition below).
+                    place = (lambda b: shard_batch(b, self.mesh)) \
+                        if self.accumulate_grad_batches == 1 else (lambda b: b)
                     for batch in datamodule.train_dataloader(epoch=0):
-                        # cache DEVICE-placed batches: overfit replays the
-                        # same data every step, so re-shipping it from the
-                        # host each time only measures the interconnect
-                        overfit_cache.append(shard_batch(batch, self.mesh))
+                        overfit_cache.append(place(batch))
                         if len(overfit_cache) >= self.overfit_batches:
                             break
                 train_iter: Iterable = iter(list(overfit_cache))

@@ -182,19 +182,20 @@ class MedMoEPretrainingModule:
         img_g, img_l, txt_g, txt_l, router_probs = outs
         cap_lens = batch["cap_lens"]
 
-        idx = probs = None
+        scores = thresholds = None
         if self.soft_label:
-            idx, probs = self._soft_targets(params, batch, tool_params)
+            scores, thresholds = self._soft_targets(params, batch, tool_params)
 
         def local_fn(il, tl, cl):
             out = self.local_loss(il, tl, cl, temp1=self.temp1,
                                   temp2=self.temp2, temp3=self.temp3,
-                                  agg=self.agg, idx=idx, probs=probs)
+                                  agg=self.agg, scores=scores,
+                                  thresholds=thresholds)
             return out.loss0 + out.loss1
 
         def global_fn(ig, tg):
-            return self.global_loss(ig, tg, temp3=self.temp3, idx=idx,
-                                    probs=probs)
+            return self.global_loss(ig, tg, temp3=self.temp3, scores=scores,
+                                    thresholds=thresholds)
 
         # local-loss inputs ride in the training compute dtype: the word-
         # region einsums are the loss's FLOPs, and bf16 MXU inputs (f32

@@ -47,6 +47,15 @@ def instantiate(cfg: Any, *args: Any, **overrides: Any) -> Any:
         else:
             kwargs[key] = value
     kwargs.update(overrides)
+    missing = [k for k, v in kwargs.items() if v == "???"]
+    if missing:
+        # hydra MISSING semantics: composing a group file that marks a field
+        # '???' (e.g. callbacks/early_stopping.yaml monitor) requires the
+        # experiment/CLI to fill it in before instantiation
+        raise ValueError(
+            f"missing mandatory value(s) {missing} for {target}: marked "
+            f"'???' in config — set them via an experiment overlay or CLI "
+            f"override")
 
     fn = _locate(target)
     if partial:

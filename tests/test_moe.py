@@ -111,19 +111,26 @@ class TestModeEquivalence:
 
 
 class TestDispatch:
-    def test_make_dispatch_plan(self):
-        from medmoe_tpu.models.moe import make_dispatch
+    def test_make_dispatch_tensors_plan(self):
+        from medmoe_tpu.models.moe import make_dispatch_tensors
 
-        idx = jnp.asarray([0, 1, 0, 0, 2, 1])
-        dispatch, valid, kept = make_dispatch(idx, num_experts=3, capacity=2)
-        d = np.asarray(dispatch)
-        v = np.asarray(valid)
+        idx = jnp.asarray([0, 1, 0, 0, 2, 1])[:, None]
+        w = jnp.ones((6, 1), jnp.float32)
+        dispatch, combine = make_dispatch_tensors(idx, w, num_experts=3,
+                                                  capacity=2)
+        d = np.asarray(dispatch)                     # [K, C, B] one-hot
         # expert 0 got samples 0, 2 (sample 3 dropped: capacity 2)
-        assert d[0].tolist() == [0, 2] and v[0].all()
-        assert d[1].tolist()[:2] == [1, 5] and v[1].all()
-        assert v[2].tolist() == [True, False]
-        assert np.asarray(kept).tolist() == [True, True, True, False, True,
-                                             True]
+        assert d[0, 0].tolist() == [1, 0, 0, 0, 0, 0]
+        assert d[0, 1].tolist() == [0, 0, 1, 0, 0, 0]
+        assert d[1, 0].tolist() == [0, 1, 0, 0, 0, 0]
+        assert d[1, 1].tolist() == [0, 0, 0, 0, 0, 1]
+        assert d[2, 0].tolist() == [0, 0, 0, 0, 1, 0]
+        assert d[2, 1].tolist() == [0] * 6           # empty slot
+        # sample 3 (overflow) vanishes from BOTH tensors
+        assert d[:, :, 3].sum() == 0
+        assert np.asarray(combine)[:, :, 3].sum() == 0
+        # combine carries the per-assignment weight at the dispatch cell
+        np.testing.assert_allclose(np.asarray(combine), d.astype(np.float32))
 
     def test_topk_matches_gather_when_no_drop(self):
         """With capacity ≥ B the dispatch path is exact parity."""
@@ -145,7 +152,7 @@ class TestDispatch:
     def test_topk_drops_overflow(self):
         """With capacity 1 per expert, overflow samples produce zero
         output."""
-        from medmoe_tpu.models.moe import ExpertBank, make_dispatch
+        from medmoe_tpu.models.moe import ExpertBank
 
         rng = np.random.RandomState(4)
         cfg = MoEConfig(num_experts=2, hidden_dims=(4, 8), output_dim=8,
@@ -228,20 +235,28 @@ class TestTopK:
                                    expected.mean(axis=1), rtol=1e-4,
                                    atol=1e-5)
 
-    def test_make_dispatch_top2(self):
-        from medmoe_tpu.models.moe import make_dispatch
+    def test_make_dispatch_tensors_top2(self):
+        from medmoe_tpu.models.moe import make_dispatch_tensors
 
         idx = jnp.asarray([[0, 1], [0, 2], [0, 1]])   # 3 samples, k=2
-        dispatch, valid, kept = make_dispatch(idx, num_experts=3, capacity=2)
-        d, v = np.asarray(dispatch), np.asarray(valid)
-        # expert 0 receives flat assignments 0 (s0) and 2 (s1); s2's slot
-        # (flat 4) overflows capacity 2 and drops
-        assert d[0].tolist() == [0, 2] and v[0].all()
-        assert d[1].tolist()[:2] == [1, 5] and v[1].all()
-        assert v[2].tolist() == [True, False]
-        k = np.asarray(kept)
-        assert k.shape == (3, 2)
-        assert k[2].tolist() == [False, True]
+        w = jnp.asarray([[0.6, 0.4], [0.7, 0.3], [0.5, 0.5]], jnp.float32)
+        dispatch, combine = make_dispatch_tensors(idx, w, num_experts=3,
+                                                  capacity=2)
+        d, c = np.asarray(dispatch), np.asarray(combine)
+        # expert 0 receives samples 0 and 1; sample 2's expert-0 assignment
+        # overflows capacity 2 and drops
+        assert d[0, 0].tolist() == [1, 0, 0]
+        assert d[0, 1].tolist() == [0, 1, 0]
+        assert d[1, 0].tolist() == [1, 0, 0]          # s0 slot-1 -> expert 1
+        assert d[1, 1].tolist() == [0, 0, 1]          # s2 slot-1 -> expert 1
+        assert d[2, 0].tolist() == [0, 1, 0]          # s1 slot-1 -> expert 2
+        # sample 2 keeps only its expert-1 assignment
+        assert d[:, :, 2].sum() == 1
+        # combine weight of each kept assignment rides its dispatch cell
+        np.testing.assert_allclose(c[0, 0], [0.6, 0.0, 0.0])
+        np.testing.assert_allclose(c[0, 1], [0.0, 0.7, 0.0])
+        np.testing.assert_allclose(c[1, 1], [0.0, 0.0, 0.5])
+        np.testing.assert_allclose(c[2, 0], [0.0, 0.3, 0.0])
 
     def test_dispatched_flops_scale_with_capacity(self):
         """The dispatch path must COST k·capacity_factor/K of dense, not
