@@ -2,25 +2,33 @@
 
 Runs the flagship full-size MedMoE pretraining step (Swin-T + 6-expert MoE +
 Bio_ClinicalBERT-shaped text tower, GLoRIA global+local+router losses, Adam,
-grad-clip 0.25) and prints ONE JSON line. Three measurements:
+grad-clip 0.25) and prints ONE JSON line. Legs:
 
-  * value           — compute throughput: pre-placed device batches, best of
-                      several pipelined bursts (isolates the model step)
+  * value           — headline compute throughput: the better of the two
+                      compute regimes below (pre-placed device batches, best
+                      of several pipelined bursts)
+      - ddp_value   — B=256/chip with block_size=32: ONE step = the
+                      reference's full 8-GPU DDP global batch with identical
+                      per-rank loss math (reference unimed_datamodule.py:74-79
+                      + losses.py:503-524); the MXU-efficient regime
+      - b32_value   — B=32/chip, full-batch global negatives (the per-chip
+                      reference batch; round-2 headline leg)
+  * fit_value       — Trainer.fit loop throughput on device-cached batches
+                      (captures loop overhead vs the raw compute leg)
   * e2e_value       — tar→device throughput: JPEG tar shards streamed
                       through UnimedDataModule (thread-pool decode, uint8
                       shipping + on-device normalize) into the same step
   * mfu_pct         — model FLOP utilization from the compiled step's XLA
                       cost analysis vs. the chip's peak bf16 FLOP/s
 
-``vs_baseline`` compares against REF_PAIRS_PER_SEC_PER_GPU — the reference
-publishes NO throughput anywhere (SURVEY §6); this constant is an optimistic
-estimate of the 8×A40 DDP reference's per-GPU rate (Swin-T fwd+bwd at A40
-f32 speeds, ignoring its CPU-side PIL-preprocessing/tokenize-in-forward and
-python-loop local loss, all of which slow it further), so the ratio is
-conservative for us.
+``vs_baseline`` divides by REF_PAIRS_PER_SEC_PER_GPU, a DERIVED estimate of
+the 8×A40 DDP reference's per-GPU rate (the reference publishes no
+throughput anywhere, SURVEY §6). Derivation in BASELINE.md "Throughput
+baseline derivation"; the same arithmetic is recomputed from components
+below and echoed in the ``baseline_method`` output field.
 
 Env knobs: MEDMOE_BENCH_MODE=compute|e2e|both (default both),
-MEDMOE_BENCH_E2E_STEPS (default 12).
+MEDMOE_BENCH_E2E_STEPS (default 12), MEDMOE_BENCH_TINY=1 (tiny shapes).
 
 NOTE on this harness: the TPU is reached over a network tunnel whose
 host→device bandwidth (~35 MB/s) is far below a real v5e host's PCIe links,
@@ -36,8 +44,26 @@ import time
 
 import numpy as np
 
-REF_PAIRS_PER_SEC_PER_GPU = 150.0
+# Derived 8×A40 reference baseline — full arithmetic + citations in
+# BASELINE.md "Throughput baseline derivation". FLOPs/pair follows the
+# reference's own structure (dense 6-expert vision train 72.9 G + frozen-BERT
+# fwd 4.3 G + GLoRIA local loss 23.1 G + 0.1 G); effective rate = A40 fp32
+# peak (torch keeps TF32 off by default) × a generous 35% utilization
+# ceiling (the reference preprocesses/tokenizes inside forward and loops the
+# local loss in python — real utilization is lower, so vs_baseline is
+# conservative for us).
+REF_FLOPS_PER_PAIR_G = 24.3 * 3 + 4.3 + 23.1 + 0.1            # ≈ 100.4
+REF_A40_EFFECTIVE_TFLOPS = 37.4 * 0.35                        # ≈ 13.1
+REF_PAIRS_PER_SEC_PER_GPU = (REF_A40_EFFECTIVE_TFLOPS * 1e3
+                             / REF_FLOPS_PER_PAIR_G)          # ≈ 130.4
+BASELINE_METHOD = (
+    "derived (BASELINE.md): ~100.4 GFLOP/pair from the reference's own "
+    "structure (Swin-T 4.5G + 6 DENSE experts x3.3G, x3 fwd+bwd; frozen-"
+    "BERT fwd 4.3G; GLoRIA local 23.1G at B=32/rank) / (A40 fp32 37.4 "
+    "TFLOP/s x 35% utilization ceiling) = 130.4 pairs/s/GPU estimate")
+
 BATCH = 32
+DDP_BATCH = 256                 # the reference's full DDP global batch
 WARMUP_STEPS = 2
 BURSTS = 8
 STEPS_PER_BURST = 8
@@ -52,7 +78,7 @@ PEAK_FLOPS = {
 }
 
 
-def _setup():
+def _setup(experiment: str = "pretraining_medmoe", batch: int = BATCH):
     import jax
 
     from __graft_entry__ import _flagship_module, _synthetic_batch
@@ -62,11 +88,11 @@ def _setup():
     from medmoe_tpu.train.step import build_train_step
 
     tiny = bool(int(os.environ.get("MEDMOE_BENCH_TINY", "0")))
-    module, cfg = _flagship_module(tiny=tiny)
+    module, cfg = _flagship_module(tiny=tiny, experiment=experiment)
     vision = cfg.model.model.vision
     text = cfg.model.model.text
     n_chips = jax.device_count()
-    per_chip = 4 if tiny else BATCH
+    per_chip = 4 if tiny else batch
     global_batch = per_chip * n_chips       # keep per-chip batch constant
     batch = _synthetic_batch(global_batch, int(vision.image_size),
                              int(text.max_length), 1000)
@@ -257,34 +283,114 @@ def measure_host_pipeline(cfg, global_batch):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def measure_fit(global_batch: int, n_chips: int):
+    """Trainer.fit throughput on device-cached batches — the loop-overhead
+    leg. Overfit mode pre-places batches on device; epochs after the first
+    are pure warm loop (epoch 0 pays compile), so the best warm epoch's
+    pairs_per_sec mirrors the compute leg's burst timing."""
+    from __graft_entry__ import _flagship_module
+    from medmoe_tpu.data.datamodules import SyntheticDataModule
+    from medmoe_tpu.train.loop import Trainer
+
+    tiny = bool(int(os.environ.get("MEDMOE_BENCH_TINY", "0")))
+    # fresh module: Trainer.fit owns init/placement/donation of its state
+    module, cfg = _flagship_module(tiny=tiny,
+                                   experiment="pretraining_medmoe_ddp")
+    vision = cfg.model.model.vision
+    text = cfg.model.model.text
+    steps = 8
+    dm = SyntheticDataModule(
+        num_samples=global_batch * steps, batch_size=global_batch,
+        image_size=int(vision.image_size), max_length=int(text.max_length))
+    trainer = Trainer(
+        min_epochs=1, max_epochs=4, accelerator="tpu",
+        accumulate_grad_batches=1, gradient_clip_val=0.25,
+        overfit_batches=steps, num_sanity_val_steps=0,
+        check_val_every_n_epoch=10 ** 6, log_every_n_steps=10 ** 6,
+        steps_per_epoch=steps)
+    trainer.fit(module, dm)
+    rates = [m["pairs_per_sec"] for m in trainer.metrics_history
+             if "pairs_per_sec" in m]
+    return max(rates) / n_chips if rates else None
+
+
 def main() -> None:
     mode = os.environ.get("MEDMOE_BENCH_MODE", "both")
-    module, cfg, mesh, state, step, batch, global_batch, n_chips = _setup()
+    tiny = bool(int(os.environ.get("MEDMOE_BENCH_TINY", "0")))
 
-    pairs, step_time, state = measure_compute(state, step, batch,
-                                              global_batch, n_chips)
-    mfu, flops = measure_mfu(state, step, batch, step_time, n_chips)
+    # --- leg 1: B=32/chip, full-batch global negatives (round-2 headline);
+    #     the e2e/host legs ride this setup (per-chip reference batch) -----
+    module, cfg, mesh, state, step, batch, gb32, n_chips = _setup()
+    b32_pairs, b32_time, state = measure_compute(state, step, batch,
+                                                 gb32, n_chips)
+    b32_mfu, b32_flops = measure_mfu(state, step, batch, b32_time, n_chips)
 
     e2e = None
     host = None
     if mode in ("both", "e2e"):
-        e2e = measure_e2e(module, cfg, mesh, state, step, global_batch,
-                          n_chips)
-        host = measure_host_pipeline(cfg, global_batch)
+        e2e = measure_e2e(module, cfg, mesh, state, step, gb32, n_chips)
+        host = measure_host_pipeline(cfg, gb32)
+    del state, step, batch          # release HBM before the big-batch leg
+
+    # --- leg 2 (headline): B=256/chip ddp-parity (block_size=32) — one step
+    #     = the reference's full 8-GPU DDP global batch with identical
+    #     per-rank loss math, MXU-efficient shapes ------------------------
+    ddp_pairs = ddp_mfu = ddp_flops = None
+    ddp_note = None
+    try:
+        _, _, _, state2, step2, batch2, gb_ddp, _ = _setup(
+            experiment="pretraining_medmoe_ddp", batch=DDP_BATCH)
+        ddp_pairs, ddp_time, state2 = measure_compute(state2, step2, batch2,
+                                                      gb_ddp, n_chips)
+        ddp_mfu, ddp_flops = measure_mfu(state2, step2, batch2, ddp_time,
+                                         n_chips)
+        del state2, step2, batch2
+    except Exception as exc:        # OOM etc: report the B=32 leg, not crash
+        ddp_note = f"ddp-parity leg failed: {type(exc).__name__}: {exc}"
+
+    # --- leg 3: Trainer.fit loop-overhead leg on the headline config ------
+    fit = None
+    fit_note = None
+    try:
+        fit = measure_fit((4 if tiny else DDP_BATCH) * n_chips, n_chips)
+    except Exception as exc:
+        fit_note = f"fit leg failed: {type(exc).__name__}: {exc}"
+
+    if ddp_pairs is not None and ddp_pairs >= b32_pairs:
+        pairs, mfu, flops = ddp_pairs, ddp_mfu, ddp_flops
+        headline = (f"B={DDP_BATCH}/chip, per-32-block losses (= reference "
+                    "8xGPU DDP global batch + per-rank loss math in ONE "
+                    "step)")
+    else:
+        pairs, mfu, flops = b32_pairs, b32_mfu, b32_flops
+        headline = "B=32/chip, full-batch global negatives"
 
     out = {
         "metric": "pretraining image-text pairs/sec/chip "
                   "(full MedMoE step: Swin-T+MoE fwd+bwd, GLoRIA g+l, "
-                  f"router CE, Adam; B={global_batch // n_chips}/chip x "
-                  f"{n_chips} chips)",
+                  f"router CE, Adam; {headline}; {n_chips} chip(s))",
         "value": round(pairs, 2),
         "unit": "pairs/sec/chip",
         "vs_baseline": round(pairs / REF_PAIRS_PER_SEC_PER_GPU, 3),
+        "baseline_method": BASELINE_METHOD,
+        "b32_value": round(b32_pairs, 2),
     }
+    if b32_mfu is not None:
+        out["b32_mfu_pct"] = round(b32_mfu, 2)
+    if ddp_pairs is not None:
+        out["ddp_value"] = round(ddp_pairs, 2)
+    if ddp_note:
+        out["ddp_note"] = ddp_note
+    if fit is not None:
+        out["fit_value"] = round(fit, 2)
+        out["fit_note"] = ("Trainer.fit on device-cached batches, best warm "
+                           "epoch — loop overhead vs the compute leg")
+    if fit_note:
+        out["fit_note"] = fit_note
     if e2e is not None:
         out["e2e_value"] = round(e2e, 2)
-        out["e2e_note"] = ("tar->decode->tokenize->device->step; harness "
-                           "tunnel caps host->device at ~35MB/s")
+        out["e2e_note"] = ("tar->decode->tokenize->device->step at B=32; "
+                           "harness tunnel caps host->device at ~35MB/s")
     if host is not None:
         out["host_pipeline_value"] = round(host, 2)
         out["host_note"] = ("tar->decode->tokenize->collate pairs/sec, no "

@@ -314,6 +314,11 @@ class ExpertBank(nn.Module):
         dispatch, combine = make_dispatch_tensors(expert_idx, weights, k,
                                                   capacity)
 
+        # per-scale accumulation — the [K, C, P, S, E] stacked-scales tensor
+        # is never materialized (same lesson as the gather path above: the
+        # stack forced extra full passes + layout copies over a tensor S×
+        # the size of any single scale). Each scale keeps its own [K, C, P,
+        # E] map; only the [K, C, P, S] attention logits are stacked.
         scale_feats = []
         for s, feats in enumerate(pyramid):
             g = jnp.einsum("kcb,bpd->kcpd", dispatch.astype(dt),
@@ -324,16 +329,21 @@ class ExpertBank(nn.Module):
             h = jax.nn.relu(h + self.proj_b[s][:, None, None, :]).astype(dt)
             scale_feats.append(interp_patches(h, p_max, axis=2))
 
-        stacked = jnp.stack(scale_feats, axis=3)            # [K, C, P, S, E]
-        a = jnp.einsum("kcpse,keh->kcpsh", stacked, self.attn_w1.astype(dt),
-                       preferred_element_type=jnp.float32)
-        a = jax.nn.relu(a + self.attn_b1[:, None, None, None, :]).astype(dt)
-        logits = jnp.einsum("kcpsh,kho->kcpso", a, self.attn_w2.astype(dt),
-                            preferred_element_type=jnp.float32)
-        logits = (logits + self.attn_b2[:, None, None, None, :])[..., 0]
-        attn = jax.nn.softmax(logits, axis=-1).astype(dt)
-        fused = jnp.einsum("kcpse,kcps->kcpe", stacked, attn,
-                           preferred_element_type=jnp.float32)  # [K,C,P,E]
+        logits = []
+        for h in scale_feats:                                # [K, C, P, E]
+            a = jnp.einsum("kcpe,keh->kcph", h, self.attn_w1.astype(dt),
+                           preferred_element_type=jnp.float32)
+            a = jax.nn.relu(a + self.attn_b1[:, None, None, :]).astype(dt)
+            l = jnp.einsum("kcph,kho->kcpo", a, self.attn_w2.astype(dt),
+                           preferred_element_type=jnp.float32)
+            logits.append(l[..., 0] + self.attn_b2[:, None, None, 0])
+        attn = jax.nn.softmax(jnp.stack(logits, axis=-1), axis=-1) \
+            .astype(dt)                                      # [K, C, P, S]
+        fused = None
+        for s, h in enumerate(scale_feats):
+            term = h.astype(jnp.float32) \
+                * attn[..., s, None].astype(jnp.float32)
+            fused = term if fused is None else fused + term  # [K, C, P, E]
 
         # weighted merge back per sample: two slots of the same sample
         # accumulate (the top-k combine); capacity-dropped assignments have
@@ -355,6 +365,8 @@ class ExpertBank(nn.Module):
         p_max = max(f.shape[1] for f in pyramid)
         combine = combine.astype(jnp.float32)               # [B, K]
 
+        # per-scale accumulation (no [K, B, P, S, E] stack — see
+        # apply_dispatched); only the [K, B, P, S] logits are stacked
         scale_feats = []
         for s, feats in enumerate(pyramid):
             h = jnp.einsum("bpd,kde->kbpe", feats.astype(dt),
@@ -363,16 +375,22 @@ class ExpertBank(nn.Module):
             h = jax.nn.relu(h + self.proj_b[s][:, None, None, :]).astype(dt)
             scale_feats.append(interp_patches(h, p_max, axis=2))
 
-        stacked = jnp.stack(scale_feats, axis=3)            # [K, B, P, S, E]
-        a = jnp.einsum("kbpse,keh->kbpsh", stacked, self.attn_w1.astype(dt),
-                       preferred_element_type=jnp.float32)
-        a = jax.nn.relu(a + self.attn_b1[:, None, None, None, :]).astype(dt)
-        logits = jnp.einsum("kbpsh,kho->kbpso", a, self.attn_w2.astype(dt),
-                            preferred_element_type=jnp.float32)
-        logits = (logits + self.attn_b2[:, None, None, None, :])[..., 0]
-        attn = jax.nn.softmax(logits, axis=-1).astype(dt)
-        fused = jnp.einsum("kbpse,kbps->kbpe", stacked, attn,
-                           preferred_element_type=jnp.float32).astype(dt)
+        logits = []
+        for h in scale_feats:                                # [K, B, P, E]
+            a = jnp.einsum("kbpe,keh->kbph", h, self.attn_w1.astype(dt),
+                           preferred_element_type=jnp.float32)
+            a = jax.nn.relu(a + self.attn_b1[:, None, None, :]).astype(dt)
+            l = jnp.einsum("kbph,kho->kbpo", a, self.attn_w2.astype(dt),
+                           preferred_element_type=jnp.float32)
+            logits.append(l[..., 0] + self.attn_b2[:, None, None, 0])
+        attn = jax.nn.softmax(jnp.stack(logits, axis=-1), axis=-1) \
+            .astype(dt)                                      # [K, B, P, S]
+        fused = None
+        for s, h in enumerate(scale_feats):
+            term = (h.astype(jnp.float32)
+                    * attn[..., s, None].astype(jnp.float32))
+            fused = term if fused is None else fused + term  # [K, B, P, E]
+        fused = fused.astype(dt)
         # combine contraction over k (psum over the 'expert' axis if sharded)
         return jnp.einsum("bk,kbpe->bpe", combine, fused,
                           preferred_element_type=jnp.float32)

@@ -132,3 +132,30 @@ class TestSchedulerCheckpointState:
             model=DotDict(dict(vision=tiny_vision(), text=tiny_text())),
             loss=tiny_loss(global_negatives=False, block_size=4))
         assert mod2.block_size == 4
+
+    @pytest.mark.slow       # ~4.5 min on the 1-core CPU host (B=256 fwd ×2)
+    def test_blocked_loss_is_mean_of_independent_block_losses(self):
+        """The DDP-parity regime (experiment=pretraining_medmoe_ddp):
+        one B=256 step with block_size=32 must produce EXACTLY the mean of
+        eight independent B=32 losses — the reference's 8-rank DDP math
+        (reference src/data/unimed_datamodule.py:74-79 per-rank batch,
+        src/losses.py:503-524 per-rank BxB contrastive blocks; the DDP grad
+        allreduce averages the per-rank losses)."""
+        import jax
+        import numpy as np
+
+        from tests.helpers import tiny_batch, tiny_module
+
+        b, bs = 256, 32
+        mod = tiny_module(global_negatives=False, block_size=bs)
+        batch, _ = tiny_batch(batch_size=b)
+        params = jax.jit(mod.init_params)(jax.random.PRNGKey(0), batch)
+        loss_full, _ = jax.jit(mod.loss_fn)(params, batch)
+
+        per_block = []
+        for i in range(b // bs):
+            sl = {k: v[i * bs:(i + 1) * bs] for k, v in batch.items()}
+            l, _ = jax.jit(mod.loss_fn)(params, sl)
+            per_block.append(float(l))
+        assert np.isclose(float(loss_full), np.mean(per_block), rtol=2e-5), \
+            (float(loss_full), np.mean(per_block))
