@@ -61,6 +61,8 @@ class BertTextEncoder(nn.Module):
             num_layers=int(cfg.get("num_layers", 12)),
             num_heads=int(cfg.get("num_heads", 12)),
             intermediate_size=int(cfg.get("intermediate_size", 3072)),
+            max_position_embeddings=int(
+                cfg.get("max_position_embeddings", 512)),
             dtype=jnp.dtype(cfg.get("dtype", "bfloat16")))
         last_n = int(cfg.get("last_n_layers", 4))
         agg_method = cfg.get("aggregate_method", "sum")

@@ -32,25 +32,39 @@ class TestGloriaSimilarityKernel:
         assert rel.max() < 2e-3        # bf16 MXU inputs, f32 accumulation
 
     @pytest.mark.slow
-    def test_gradients_via_custom_vjp(self, data):
+    @pytest.mark.parametrize("backend", ["pallas", "xla"])
+    def test_gradients_via_custom_vjp(self, data, backend, monkeypatch):
+        """Both backward backends (MEDMOE_GLORIA_BWD) against the oracle
+        they actually differentiate. The XLA-remat backward differentiates
+        the f32 function (tight). The Pallas backward differentiates the
+        bf16-rounded-input function the forward kernel evaluates — so its
+        oracle is XLA grads of that function (inputs pre-rounded through
+        bf16); vs the pure-f32 grads it sits at ~4% because the GLoRIA
+        chain (exp(5·cos) over sharpened softmaxes) amplifies input
+        rounding, which is forward-function difference, not vjp error."""
         from medmoe_tpu.ops.pallas.gloria_attention import (
             _sim_xla, gloria_similarity_pallas)
 
+        monkeypatch.setenv("MEDMOE_GLORIA_BWD", backend)
         img, words, cap = data
 
         def loss_p(i, w):
             return jnp.sum(gloria_similarity_pallas(i, w, cap) ** 2)
 
         def loss_x(i, w):
+            if backend == "pallas":
+                i = i.astype(jnp.bfloat16).astype(jnp.float32)
+                w = w.astype(jnp.bfloat16).astype(jnp.float32)
             return jnp.sum(_sim_xla(i, w, cap, 4.0, 5.0, 10.0) ** 2)
 
         with pltpu.force_tpu_interpret_mode():
             gp = jax.grad(loss_p, argnums=(0, 1))(img, words)
         gx = jax.grad(loss_x, argnums=(0, 1))(img, words)
+        tol = 1e-2 if backend == "pallas" else 2e-3
         for a, b in zip(gp, gx):
             rel = np.abs(np.asarray(a) - np.asarray(b)).max() \
                 / max(np.abs(np.asarray(b)).max(), 1e-9)
-            assert rel < 2e-3
+            assert rel < tol
 
     def test_b256_global_batch_traces(self):
         """B=256 (the reference's global batch) must trace with the
@@ -85,6 +99,38 @@ class TestGloriaSimilarityKernel:
         # d=16 keeps this test cheap but amplifies the bf16 input rounding
         # through exp(temp2·cos); the d=128 case above holds 2e-3
         assert rel.max() < 0.08
+
+    @pytest.mark.slow
+    def test_backward_multiblock_accumulation(self, monkeypatch):
+        """B=16 > TXT_BLOCK exercises the d_ctx text-block sweep (tj-axis
+        accumulation) and the d_words transposed image sweep across more
+        than one out-block revisit."""
+        from medmoe_tpu.ops.pallas.gloria_attention import (
+            _sim_xla, gloria_similarity_pallas)
+
+        monkeypatch.setenv("MEDMOE_GLORIA_BWD", "pallas")
+        rng = np.random.RandomState(2)
+        b, d, h, w, t = 16, 32, 2, 2, 9
+        img = jnp.asarray(rng.randn(b, d, h, w).astype(np.float32))
+        words = jnp.asarray(rng.randn(b, d, t).astype(np.float32))
+        cap = jnp.asarray(rng.randint(2, t + 1, size=b).astype(np.int32))
+
+        def loss_p(i, w):
+            return jnp.sum(gloria_similarity_pallas(i, w, cap) ** 2)
+
+        def loss_x(i, w):
+            i = i.astype(jnp.bfloat16).astype(jnp.float32)
+            w = w.astype(jnp.bfloat16).astype(jnp.float32)
+            return jnp.sum(_sim_xla(i, w, cap, 4.0, 5.0, 10.0) ** 2)
+
+        with pltpu.force_tpu_interpret_mode():
+            gp = jax.grad(loss_p, argnums=(0, 1))(img, words)
+        gx = jax.grad(loss_x, argnums=(0, 1))(img, words)
+        for a, b_ in zip(gp, gx):
+            rel = np.abs(np.asarray(a) - np.asarray(b_)).max() \
+                / max(np.abs(np.asarray(b_)).max(), 1e-9)
+            # small d amplifies bf16 rounding through exp(temp2·cos)
+            assert rel < 5e-2
 
     def test_loss_class_pallas_impl(self, data):
         from medmoe_tpu.ops.losses import GLORIALocalContrastiveLoss
