@@ -88,7 +88,16 @@ class MLPStack(nn.Module):
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """x / ||x||_2 along ``axis`` (torch.norm-division analogue)."""
-    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
-                            keepdims=True))
-    return (x.astype(jnp.float32) / jnp.maximum(norm, eps)).astype(x.dtype)
+    """x / ||x||_2 along ``axis`` (torch.norm-division analogue).
+
+    The eps floor lives INSIDE the sqrt: ``x/max(sqrt(s), eps)`` and
+    ``x/sqrt(max(s, eps²))`` are bitwise-identical values (max commutes with
+    the monotone sqrt), but only the latter has a finite gradient at x = 0 —
+    sqrt'(0) is inf, and a zero row otherwise turns into NaN grads. Zero
+    rows are impossible in the reference (no capacity dropping) but routine
+    under the MoE dispatched modes, where capacity-overflow samples carry
+    exactly-zero embeddings."""
+    norm = jnp.sqrt(jnp.maximum(
+        jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True),
+        eps * eps))
+    return (x.astype(jnp.float32) / norm).astype(x.dtype)

@@ -207,10 +207,10 @@ class FLAVAGlobalContrastiveLoss(nn.Module):
             "logit_scale",
             lambda key: jnp.asarray(math.log(1.0 / 0.07), jnp.float32))
         logit_scale = jnp.clip(logit_scale, 0.0, 4.6052)
-        txt = text_sequence / jnp.linalg.norm(text_sequence, axis=-1,
-                                              keepdims=True)
-        img = image_sequence / jnp.linalg.norm(image_sequence, axis=-1,
-                                               keepdims=True)
+        from medmoe_tpu.ops.losses import safe_norm
+
+        txt = text_sequence / safe_norm(text_sequence)
+        img = image_sequence / safe_norm(image_sequence)
         out = contrastive_loss_with_temperature(
             img, txt, logit_scale, mask, BackpropType.GLOBAL, self.axis_name)
         return FLAVAGlobalContrastiveLossOutput(

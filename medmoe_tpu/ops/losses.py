@@ -26,6 +26,19 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
+def safe_norm(x: jnp.ndarray, axis: int = -1, keepdims: bool = True,
+              eps: float = 1e-12) -> jnp.ndarray:
+    """||x||_2 with the eps floor INSIDE the sqrt: identical values to
+    ``maximum(norm, eps)`` (max commutes with the monotone sqrt) but a
+    finite gradient at x = 0 — sqrt'(0) is inf, so a clamped-outside norm
+    still emits NaN grads for exactly-zero vectors. Zero vectors never
+    occur in the reference (it has no capacity dropping) but are routine in
+    the MoE dispatched modes, where capacity-overflow samples carry
+    exactly-zero fused features."""
+    s = jnp.sum(jnp.square(x), axis=axis, keepdims=keepdims)
+    return jnp.sqrt(jnp.maximum(s, eps * eps))
+
+
 class GloriaLocalOutput(NamedTuple):
     loss0: jnp.ndarray
     loss1: jnp.ndarray
@@ -78,8 +91,8 @@ def cosine_similarity(x1: jnp.ndarray, x2: jnp.ndarray, axis: int,
     x1 = x1.astype(jnp.float32)
     x2 = x2.astype(jnp.float32)
     w12 = jnp.sum(x1 * x2, axis=axis)
-    w1 = jnp.sqrt(jnp.sum(jnp.square(x1), axis=axis))
-    w2 = jnp.sqrt(jnp.sum(jnp.square(x2), axis=axis))
+    w1 = safe_norm(x1, axis=axis, keepdims=False)
+    w2 = safe_norm(x2, axis=axis, keepdims=False)
     return w12 / jnp.maximum(w1 * w2, eps)
 
 
@@ -168,8 +181,7 @@ def gloria_global_loss(cnn_code: jnp.ndarray, rnn_code: jnp.ndarray,
     cnn = cnn_code.astype(jnp.float32)
     rnn = rnn_code.astype(jnp.float32)
     scores = cnn @ rnn.T
-    norms = (jnp.linalg.norm(cnn, axis=-1, keepdims=True)
-             @ jnp.linalg.norm(rnn, axis=-1, keepdims=True).T)
+    norms = safe_norm(cnn) @ safe_norm(rnn).T
     scores = scores / jnp.maximum(norms, eps) * temp3
     return _cross_entropy_diag(scores) + _cross_entropy_diag(scores.T)
 
@@ -185,8 +197,8 @@ def clip_contrastive_loss(img: jnp.ndarray, txt: jnp.ndarray,
     construction — this one line replaces the reference's
     torch.distributed.nn.functional.all_gather machinery.
     """
-    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
-    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    img = img / safe_norm(img)
+    txt = txt / safe_norm(txt)
     temp = jnp.exp(jnp.clip(logit_scale, None, jnp.log(100.0)))
     local_b = img.shape[0]
     if axis_name is not None:
@@ -225,8 +237,8 @@ def hard_negative_loss(imgs: jnp.ndarray, caps: jnp.ndarray, nmax: int = 1,
                        margin: float = 0.2) -> jnp.ndarray:
     """Margin loss over the nmax hardest negatives (reference
     HardNegativeContrastiveLoss, losses.py:885-927)."""
-    imgs = imgs / jnp.linalg.norm(imgs, axis=-1, keepdims=True)
-    caps = caps / jnp.linalg.norm(caps, axis=-1, keepdims=True)
+    imgs = imgs / safe_norm(imgs)
+    caps = caps / safe_norm(caps)
     scores = (imgs @ caps.T).astype(jnp.float32)
     eye = jnp.eye(scores.shape[0], dtype=scores.dtype)
     diag = jnp.sum(scores * eye, axis=1)        # gather-free diagonal read
@@ -354,8 +366,7 @@ class SoftGLORIAGlobalContrastiveLoss:
         cnn = cnn_code.astype(jnp.float32)
         rnn = rnn_code.astype(jnp.float32)
         s = cnn @ rnn.T
-        norms = (jnp.linalg.norm(cnn, axis=-1, keepdims=True)
-                 @ jnp.linalg.norm(rnn, axis=-1, keepdims=True).T)
+        norms = safe_norm(cnn) @ safe_norm(rnn).T
         s = s / jnp.maximum(norms, 1e-8) * temp3            # scores0 [B,B]
 
         pos_mask = scores_text > thr_pos                     # [B(anchor), B]

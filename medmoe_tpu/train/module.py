@@ -151,8 +151,10 @@ class MedMoEPretrainingModule:
             {"params": jax.lax.stop_gradient(bert_params)},
             batch["input_ids"], batch["attention_mask"],
             batch["token_type_ids"])
+        from medmoe_tpu.ops.losses import safe_norm
+
         f = last[:, 0].astype(jnp.float32)
-        f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+        f = f / safe_norm(f)
         scores = f @ f.T
         thr = (float(self.loss_cfg.get("threshold0", 0.98)),
                float(self.loss_cfg.get("threshold1", 0.97)))

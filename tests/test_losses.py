@@ -198,6 +198,88 @@ class TestHardNegative:
         np.testing.assert_allclose(got, expected, rtol=1e-5)
 
 
+class TestZeroEmbeddingGradients:
+    """Capacity-dropped samples in the MoE dispatched modes carry
+    exactly-zero embeddings. Every loss must emit FINITE gradients for
+    them: sqrt'(0) = inf, so a norm whose eps floor sits outside the sqrt
+    (the reference's torch form — safe there, since torch never produces
+    zero rows) turns a single dropped sample into NaN grads that Adam then
+    propagates into every parameter. Regression for the full-size
+    moe_mode=topk step going non-finite after one optimizer update."""
+
+    def _grads_finite(self, fn, *args):
+        grads = jax.grad(fn, argnums=tuple(range(len(args))))(*args)
+        return all(bool(np.isfinite(np.asarray(g)).all()) for g in grads)
+
+    def test_gloria_local_zero_image(self):
+        rng = np.random.RandomState(0)
+        img = rng.randn(4, 8, 2, 2).astype(np.float32)
+        img[1] = 0.0
+        words = rng.randn(4, 8, 5).astype(np.float32)
+        cap = jnp.asarray(np.full((4,), 4, np.int32))
+        assert self._grads_finite(
+            lambda i, w: (lambda o: o.loss0 + o.loss1)(
+                L.gloria_local_loss(i, w, cap)),
+            jnp.asarray(img), jnp.asarray(words))
+
+    def test_gloria_local_zero_words(self):
+        rng = np.random.RandomState(1)
+        img = rng.randn(4, 8, 2, 2).astype(np.float32)
+        words = rng.randn(4, 8, 5).astype(np.float32)
+        words[2] = 0.0
+        cap = jnp.asarray(np.full((4,), 4, np.int32))
+        assert self._grads_finite(
+            lambda i, w: (lambda o: o.loss0 + o.loss1)(
+                L.gloria_local_loss(i, w, cap)),
+            jnp.asarray(img), jnp.asarray(words))
+
+    def test_gloria_global_zero_row(self):
+        rng = np.random.RandomState(2)
+        img = rng.randn(6, 8).astype(np.float32)
+        img[3] = 0.0
+        txt = rng.randn(6, 8).astype(np.float32)
+        assert self._grads_finite(
+            lambda i, t: L.gloria_global_loss(i, t),
+            jnp.asarray(img), jnp.asarray(txt))
+
+    def test_clip_contrastive_zero_row(self):
+        rng = np.random.RandomState(3)
+        img = rng.randn(6, 8).astype(np.float32)
+        img[0] = 0.0
+        txt = rng.randn(6, 8).astype(np.float32)
+        assert self._grads_finite(
+            lambda i, t: L.clip_contrastive_loss(i, t, jnp.asarray(0.0)),
+            jnp.asarray(img), jnp.asarray(txt))
+
+    def test_hard_negative_zero_row(self):
+        rng = np.random.RandomState(4)
+        img = rng.randn(6, 8).astype(np.float32)
+        img[5] = 0.0
+        txt = rng.randn(6, 8).astype(np.float32)
+        assert self._grads_finite(
+            lambda i, t: L.hard_negative_loss(i, t),
+            jnp.asarray(img), jnp.asarray(txt))
+
+    def test_l2_normalize_zero_row(self):
+        from medmoe_tpu.models.layers import l2_normalize
+
+        x = np.ones((3, 8), np.float32)
+        x[1] = 0.0
+        assert self._grads_finite(
+            lambda a: jnp.sum(l2_normalize(a) ** 2), jnp.asarray(x))
+
+    def test_safe_norm_matches_clamped_norm(self):
+        """Same math as max(||x||, eps) for nonzero rows (up to summation
+        order) and exactly eps for zero rows."""
+        rng = np.random.RandomState(5)
+        x = rng.randn(4, 8).astype(np.float32)
+        x[2] = 0.0
+        got = np.asarray(L.safe_norm(jnp.asarray(x)))
+        want = np.maximum(np.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+        assert got[2, 0] == 1e-12
+
+
 class TestRouterLoss:
     def test_double_softmax_quirk(self):
         """CE must be applied on top of softmaxed probs (reference quirk)."""

@@ -171,6 +171,41 @@ class TestDispatch:
         assert np.allclose(out[2], 0.0)
         assert np.abs(out[3]).max() > 0        # expert 1: kept
 
+    def test_dropped_samples_finite_loss_grads(self):
+        """Capacity-dropped samples carry exactly-zero fused features; the
+        GLoRIA losses downstream must still produce finite grads into the
+        expert bank and router (regression: full-size moe_mode=topk went
+        NaN after one optimizer step — sqrt'(0)=inf through the cosine
+        norms of zero embeddings)."""
+        from medmoe_tpu.ops.losses import gloria_global_loss, gloria_local_loss
+
+        rng = np.random.RandomState(5)
+        b = 4
+        cfg = MoEConfig(num_experts=2, hidden_dims=(4, 8), output_dim=8,
+                        router_input_dim=8, mode="topk", capacity_factor=0.5,
+                        dtype=jnp.float32)
+        pyr = _pyramid(rng, b=b)
+        router_feat = jnp.asarray(rng.randn(b, 8).astype(np.float32))
+        txt_g = jnp.asarray(rng.randn(b, 8).astype(np.float32))
+        txt_l = jnp.asarray(rng.randn(b, 8, 3).astype(np.float32))
+        cap = jnp.asarray(np.full((b,), 3, np.int32))
+        moe = MoE(cfg)
+        variables = moe.init(jax.random.PRNGKey(0), pyr, router_feat)
+
+        def loss(v):
+            g, local, _ = moe.apply(v, pyr, router_feat)
+            out = gloria_local_loss(local, txt_l, cap)
+            return (gloria_global_loss(g, txt_g)
+                    + out.loss0 + out.loss1)
+
+        val, grads = jax.value_and_grad(loss)(variables)
+        # capacity 1/expert at b=4 guarantees drops → zero rows exist
+        g_feat, _, _ = moe.apply(variables, pyr, router_feat)
+        assert bool(np.any(np.all(np.asarray(g_feat) == 0.0, axis=1)))
+        assert np.isfinite(float(val))
+        flat = jax.tree_util.tree_leaves(grads)
+        assert all(bool(np.isfinite(np.asarray(g)).all()) for g in flat)
+
 
 class TestTopK:
     def _setup(self, k, mode="gather", b=5, capacity_factor=8.0):
