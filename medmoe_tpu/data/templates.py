@@ -10,6 +10,19 @@ from __future__ import annotations
 import random
 from typing import Optional
 
+# dataset → separator token (the ones sample_caption splits on below);
+# shard builders writing in join mode use the same table
+SEPARATORS = {
+    "radimagenet": "_radimagenet_",
+    "chexpert": "_chexpert_",
+    "chestxray": "_chestxray8_",
+    "openi": "_openi_",
+    "retina": "_all_retina_merged_",
+    "dr": "_dr_",
+    "medicat": "_medicat_",
+    "mimiccxr": "_mimiccxr_",
+}
+
 
 def sample_caption(text: str, rng: Optional[random.Random] = None) -> str:
     rng = rng or random
