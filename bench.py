@@ -7,10 +7,12 @@ grad-clip 0.25) and prints ONE JSON line. Legs:
   * value           — headline compute throughput: the better of the two
                       compute regimes below (pre-placed device batches, best
                       of several pipelined bursts)
-      - ddp_value   — B=256/chip with block_size=32: ONE step = the
-                      reference's full 8-GPU DDP global batch with identical
-                      per-rank loss math (reference unimed_datamodule.py:74-79
-                      + losses.py:503-524); the MXU-efficient regime
+      - ddp_value   — global batch 256 per optimizer step, executed as a
+                      lax.scan over 8 × B=32 micro-batches: identical math
+                      to the reference's 8-GPU DDP step (per-micro B×B
+                      losses ≡ per-rank losses, unimed_datamodule.py:74-79 +
+                      losses.py:503-524; accum-mean ≡ allreduce-mean) at
+                      1/3 the peak memory of the monolithic B=256 form
       - b32_value   — B=32/chip, full-batch global negatives (the per-chip
                       reference batch; round-2 headline leg)
   * fit_value       — Trainer.fit loop throughput on device-cached batches
@@ -78,7 +80,14 @@ PEAK_FLOPS = {
 }
 
 
-def _setup(experiment: str = "pretraining_medmoe", batch: int = BATCH):
+def _setup(experiment: str = "pretraining_medmoe", batch: int = BATCH,
+           accum: int = 1):
+    """accum > 1 builds the step as a lax.scan over [accum, batch, ...]
+    micro-batch windows — one optimizer step over accum·batch pairs. On one
+    chip this is the memory-lean execution of a big global batch (the
+    DDP-parity leg runs 8 × 32 instead of a monolithic 256: measured 550.6
+    vs 391.9 pairs/s — the monolithic step's 14.4 GB of temp sits at v5e's
+    HBM ceiling and spills; the scan form peaks at 4.1 GB)."""
     import jax
 
     from __graft_entry__ import _flagship_module, _synthetic_batch
@@ -93,16 +102,23 @@ def _setup(experiment: str = "pretraining_medmoe", batch: int = BATCH):
     text = cfg.model.model.text
     n_chips = jax.device_count()
     per_chip = 4 if tiny else batch
-    global_batch = per_chip * n_chips       # keep per-chip batch constant
+    global_batch = per_chip * n_chips * accum   # pairs per optimizer step
     batch = _synthetic_batch(global_batch, int(vision.image_size),
                              int(text.max_length), 1000)
+    micro = per_chip * n_chips
+    init_batch = batch
+    if accum > 1:
+        batch = jax.tree_util.tree_map(
+            lambda x: x.reshape((accum, micro) + x.shape[1:]), batch)
+        init_batch = jax.tree_util.tree_map(lambda x: x[0], batch)
     mesh = make_mesh(data=n_chips, expert=1) if n_chips > 1 else None
-    if mesh is not None:
+    if mesh is not None and accum == 1:
         batch = jax.device_put(batch, batch_sharding(mesh))
-    else:
+    elif mesh is None:
         batch = jax.device_put(batch)
+    # (mesh + accum: the jitted scan places/shards the stacked windows)
 
-    params = jax.jit(module.init_params)(jax.random.PRNGKey(0), batch)
+    params = jax.jit(module.init_params)(jax.random.PRNGKey(0), init_batch)
     tx = module.make_optimizer(gradient_clip_val=0.25)
     if mesh is not None:
         placed = jax.tree_util.tree_map(
@@ -110,7 +126,7 @@ def _setup(experiment: str = "pretraining_medmoe", batch: int = BATCH):
         state = TrainState.create(placed, tx)
     else:
         state = TrainState.create(params, tx)
-    step = build_train_step(module, mesh=mesh, accum_steps=1, donate=True)
+    step = build_train_step(module, mesh=mesh, accum_steps=accum, donate=True)
     return module, cfg, mesh, state, step, batch, global_batch, n_chips
 
 
@@ -283,28 +299,30 @@ def measure_host_pipeline(cfg, global_batch):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def measure_fit(global_batch: int, n_chips: int):
+def measure_fit(global_batch: int, n_chips: int,
+                experiment: str = "pretraining_medmoe_ddp",
+                accum: int = 1, opt_steps: int = 3):
     """Trainer.fit throughput on device-cached batches — the loop-overhead
-    leg. Overfit mode pre-places batches on device; epochs after the first
-    are pure warm loop (epoch 0 pays compile), so the best warm epoch's
-    pairs_per_sec mirrors the compute leg's burst timing."""
+    leg, on the same regime as the compute headline (accum windows of B=32
+    micro-batches). Epochs after the first are pure warm loop (epoch 0
+    pays compile), so the best warm epoch's pairs_per_sec mirrors the
+    compute leg's burst timing."""
     from __graft_entry__ import _flagship_module
     from medmoe_tpu.data.datamodules import SyntheticDataModule
     from medmoe_tpu.train.loop import Trainer
 
     tiny = bool(int(os.environ.get("MEDMOE_BENCH_TINY", "0")))
     # fresh module: Trainer.fit owns init/placement/donation of its state
-    module, cfg = _flagship_module(tiny=tiny,
-                                   experiment="pretraining_medmoe_ddp")
+    module, cfg = _flagship_module(tiny=tiny, experiment=experiment)
     vision = cfg.model.model.vision
     text = cfg.model.model.text
-    steps = 8
+    steps = opt_steps * accum            # loader micro-batches per epoch
     dm = SyntheticDataModule(
         num_samples=global_batch * steps, batch_size=global_batch,
         image_size=int(vision.image_size), max_length=int(text.max_length))
     trainer = Trainer(
         min_epochs=1, max_epochs=4, accelerator="tpu",
-        accumulate_grad_batches=1, gradient_clip_val=0.25,
+        accumulate_grad_batches=accum, gradient_clip_val=0.25,
         overfit_batches=steps, num_sanity_val_steps=0,
         check_val_every_n_epoch=10 ** 6, log_every_n_steps=10 ** 6,
         steps_per_epoch=steps)
@@ -332,14 +350,18 @@ def main() -> None:
         host = measure_host_pipeline(cfg, gb32)
     del state, step, batch          # release HBM before the big-batch leg
 
-    # --- leg 2 (headline): B=256/chip ddp-parity (block_size=32) — one step
-    #     = the reference's full 8-GPU DDP global batch with identical
-    #     per-rank loss math, MXU-efficient shapes ------------------------
+    # --- leg 2 (headline): the reference's full 8-GPU DDP global batch
+    #     (256) in ONE optimizer step, executed as a lax.scan over 8 × B=32
+    #     micro-batches — identical math (per-micro B×B losses ≡ per-rank
+    #     DDP losses; accum-mean grads ≡ allreduce-mean) at 4.1 GB temp
+    #     instead of the monolithic form's 14.4 GB (which spills at v5e's
+    #     HBM ceiling: 391.9 pairs/s vs 550.6 for the scan form) ----------
     ddp_pairs = ddp_mfu = ddp_flops = None
     ddp_note = None
     try:
         _, _, _, state2, step2, batch2, gb_ddp, _ = _setup(
-            experiment="pretraining_medmoe_ddp", batch=DDP_BATCH)
+            experiment="pretraining_medmoe_ddp", batch=BATCH,
+            accum=DDP_BATCH // BATCH)
         ddp_pairs, ddp_time, state2 = measure_compute(state2, step2, batch2,
                                                       gb_ddp, n_chips)
         ddp_mfu, ddp_flops = measure_mfu(state2, step2, batch2, ddp_time,
@@ -351,16 +373,25 @@ def main() -> None:
     # --- leg 3: Trainer.fit loop-overhead leg on the headline config ------
     fit = None
     fit_note = None
+    fit_experiment = "pretraining_medmoe_ddp"
     try:
-        fit = measure_fit((4 if tiny else DDP_BATCH) * n_chips, n_chips)
+        fit = measure_fit((4 if tiny else BATCH) * n_chips, n_chips,
+                          accum=DDP_BATCH // BATCH)
     except Exception as exc:
-        fit_note = f"fit leg failed: {type(exc).__name__}: {exc}"
+        fit_note = f"ddp fit leg failed: {type(exc).__name__}: {exc}"
+        fit_experiment = "pretraining_medmoe"
+        try:
+            fit = measure_fit((4 if tiny else BATCH) * n_chips, n_chips,
+                              experiment="pretraining_medmoe", opt_steps=8)
+        except Exception as exc2:
+            fit_note += f"; b32 fallback failed: {type(exc2).__name__}"
 
     if ddp_pairs is not None and ddp_pairs >= b32_pairs:
         pairs, mfu, flops = ddp_pairs, ddp_mfu, ddp_flops
-        headline = (f"B={DDP_BATCH}/chip, per-32-block losses (= reference "
-                    "8xGPU DDP global batch + per-rank loss math in ONE "
-                    "step)")
+        headline = (f"global batch {DDP_BATCH}/chip per optimizer step as "
+                    f"scan({DDP_BATCH // BATCH} x B={BATCH}) (= reference "
+                    "8xGPU DDP step: per-micro losses == per-rank losses, "
+                    "accum-mean == allreduce-mean)")
     else:
         pairs, mfu, flops = b32_pairs, b32_mfu, b32_flops
         headline = "B=32/chip, full-batch global negatives"
@@ -383,9 +414,13 @@ def main() -> None:
         out["ddp_note"] = ddp_note
     if fit is not None:
         out["fit_value"] = round(fit, 2)
+        leg = ("ddp_value" if fit_experiment == "pretraining_medmoe_ddp"
+               else "b32_value")
         out["fit_note"] = ("Trainer.fit on device-cached batches, best warm "
-                           "epoch — loop overhead vs the compute leg")
-    if fit_note:
+                           f"epoch — loop overhead vs the {leg} compute leg")
+        if fit_note:
+            out["fit_note"] += f" ({fit_note})"
+    elif fit_note:
         out["fit_note"] = fit_note
     if e2e is not None:
         out["e2e_value"] = round(e2e, 2)

@@ -341,8 +341,11 @@ class Trainer:
                 self.state, metrics = train_step(self.state, device_batch,
                                                  sub)
                 global_step += 1
+                lead = jax.tree_util.tree_leaves(device_batch)[0].shape
+                # stacked accum windows are [accum, micro_b, ...]
                 n_pairs += int(np.prod(
-                    jax.tree_util.tree_leaves(device_batch)[0].shape[:1]))
+                    lead[:2] if self.accumulate_grad_batches > 1
+                    else lead[:1]))
 
                 # hot loop stays async: metrics are buffered as DEVICE
                 # scalars (no blocking float()); the host only syncs every
@@ -376,6 +379,9 @@ class Trainer:
                 self.state, metrics = flush_step(self.state, device_batch,
                                                  sub)
                 global_step += 1
+                lead = jax.tree_util.tree_leaves(device_batch)[0].shape
+                n_pairs += int(np.prod(lead[:2] if leftover > 1
+                                       else lead[:1]))
                 for k, v in metrics.items():
                     epoch_metrics.setdefault(f"train/{k}", []).append(v)
 

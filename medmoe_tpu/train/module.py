@@ -162,7 +162,10 @@ class MedMoEPretrainingModule:
 
     def _blocked(self, fn, *arrays):
         """Apply a loss over per-block slices and average (per-rank DDP
-        loss semantics)."""
+        loss semantics). vmap over blocks: a rematerialized lax.map was
+        probed and is slower in the full step (docs/PERFORMANCE.md,
+        "DDP-parity regime") — the loss residuals are not what makes the
+        B=256 step memory-bound."""
         bs = self.block_size
         b = arrays[0].shape[0]
         if not bs or bs >= b:

@@ -159,3 +159,46 @@ class TestSchedulerCheckpointState:
             per_block.append(float(l))
         assert np.isclose(float(loss_full), np.mean(per_block), rtol=2e-5), \
             (float(loss_full), np.mean(per_block))
+
+    def test_accum_scan_equals_monolithic_blocked_step(self):
+        """The bench's DDP-parity leg executes the global-batch step as a
+        lax.scan over micro-batches (accum-mean grads) instead of one
+        monolithic batch with block_size losses. Both are the reference's
+        8-rank DDP math; this pins that they take the SAME optimizer step:
+        per-micro BxB losses == per-rank losses and accum-mean ==
+        allreduce-mean (measured 550.6 vs 391.9 pairs/s on v5e at B=256 —
+        the monolithic form's 14.4 GB temp spills at the HBM ceiling)."""
+        import jax
+        import numpy as np
+
+        from medmoe_tpu.train.state import TrainState
+        from medmoe_tpu.train.step import build_train_step
+        from tests.helpers import tiny_batch, tiny_module
+
+        b, bs = 8, 4
+        mod = tiny_module(global_negatives=False, block_size=bs)
+        batch, _ = tiny_batch(batch_size=b)
+        params = jax.jit(mod.init_params)(jax.random.PRNGKey(0), batch)
+        tx = mod.make_optimizer(gradient_clip_val=0.25)
+
+        mono = build_train_step(mod, mesh=None, accum_steps=1, donate=False)
+        s1, m1 = mono(TrainState.create(params, tx), batch,
+                      jax.random.PRNGKey(1))
+
+        stacked = jax.tree_util.tree_map(
+            lambda x: np.asarray(x).reshape((b // bs, bs) + x.shape[1:]),
+            batch)
+        scan = build_train_step(mod, mesh=None, accum_steps=b // bs,
+                                donate=False)
+        s2, m2 = scan(TrainState.create(params, tx), stacked,
+                      jax.random.PRNGKey(1))
+
+        # compare loss components and the grad global norm: post-Adam params
+        # are ill-conditioned for this check (roundoff-level grad diffs on
+        # zero-init biases flip the sign of a full lr-sized Adam update)
+        for key in ("loss", "l_loss", "g_loss", "c_loss"):
+            np.testing.assert_allclose(float(m1[key]), float(m2[key]),
+                                       rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(float(m1["grad_norm"]),
+                                   float(m2["grad_norm"]), rtol=1e-4)
+        del s1, s2
