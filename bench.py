@@ -153,8 +153,11 @@ def measure_compute(state, step, batch, global_batch, n_chips):
     return global_batch / best / n_chips, best, state
 
 
-def measure_mfu(state, step, batch, step_time_s, n_chips):
-    """flops/step from the compiled executable's cost analysis."""
+def measure_mfu(state, step, batch, step_time_s, n_chips, accum: int = 1):
+    """flops/step from the compiled executable's cost analysis. XLA counts
+    a scan/while body ONCE regardless of trip count, so the accum-scan
+    step's flops are scaled by ``accum`` (verified: the accum=8 executable
+    reports the same flops as the accum=1 micro-step)."""
     import jax
 
     try:
@@ -162,7 +165,7 @@ def measure_mfu(state, step, batch, step_time_s, n_chips):
         analysis = compiled.cost_analysis()
         if isinstance(analysis, (list, tuple)):
             analysis = analysis[0]
-        flops = float(analysis["flops"])
+        flops = float(analysis["flops"]) * accum
     except Exception:
         return None, None
     kind = jax.devices()[0].device_kind
@@ -365,7 +368,7 @@ def main() -> None:
         ddp_pairs, ddp_time, state2 = measure_compute(state2, step2, batch2,
                                                       gb_ddp, n_chips)
         ddp_mfu, ddp_flops = measure_mfu(state2, step2, batch2, ddp_time,
-                                         n_chips)
+                                         n_chips, accum=DDP_BATCH // BATCH)
         del state2, step2, batch2
     except Exception as exc:        # OOM etc: report the B=32 leg, not crash
         ddp_note = f"ddp-parity leg failed: {type(exc).__name__}: {exc}"

@@ -202,7 +202,13 @@ class Trainer:
 
     def _stack_accum(self, batches: List[Dict[str, np.ndarray]]
                      ) -> Dict[str, np.ndarray]:
-        return jax.tree_util.tree_map(lambda *xs: np.stack(xs), *batches)
+        """Stack an accumulation window [accum, micro, ...]. Device-placed
+        micro-batches (the overfit cache) stack with jnp.stack — a device
+        op; np.stack would pull every buffer device→host and re-ship the
+        stacked copy each step (1.2 GB/step at 8×32 full size)."""
+        leaf = jax.tree_util.tree_leaves(batches[0])[0]
+        stack = jnp.stack if isinstance(leaf, jax.Array) else np.stack
+        return jax.tree_util.tree_map(lambda *xs: stack(xs), *batches)
 
     # ------------------------------------------------------------------
     def fit(self, module, datamodule, ckpt_path: Optional[str] = None) -> None:
@@ -299,15 +305,11 @@ class Trainer:
                 if not overfit_cache:
                     # cache DEVICE-placed batches: overfit replays the same
                     # data every step, so re-shipping it from the host each
-                    # time only measures the interconnect. With accumulation
-                    # the loop stacks windows on the HOST (np.stack), which
-                    # would pull device buffers back every step — cache host
-                    # arrays there instead (mirrors the prefetch-transform
-                    # condition below).
-                    place = (lambda b: shard_batch(b, self.mesh)) \
-                        if self.accumulate_grad_batches == 1 else (lambda b: b)
+                    # time only measures the interconnect. _stack_accum
+                    # stacks device-placed windows with jnp.stack (a device
+                    # op), so accumulation caches on device too.
                     for batch in datamodule.train_dataloader(epoch=0):
-                        overfit_cache.append(place(batch))
+                        overfit_cache.append(shard_batch(batch, self.mesh))
                         if len(overfit_cache) >= self.overfit_batches:
                             break
                 train_iter: Iterable = iter(list(overfit_cache))
