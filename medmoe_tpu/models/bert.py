@@ -34,6 +34,13 @@ class BertConfig:
     max_position_embeddings: int = 512
     type_vocab_size: int = 2
     layer_norm_eps: float = 1e-12
+    # HF bert-base defaults; active only in train mode (deterministic=False).
+    # NOTE the reference runs these even on the frozen tower: Lightning puts
+    # the whole model in train() and freeze_bert only stops gradients
+    # (reference text_encoder.py:27-30), so frozen-BERT embeddings are
+    # dropout-noisy during training there too.
+    hidden_dropout_prob: float = 0.1
+    attention_probs_dropout_prob: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
 
 
@@ -108,7 +115,7 @@ class BertEmbeddings(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, input_ids, token_type_ids):
+    def __call__(self, input_ids, token_type_ids, deterministic: bool = True):
         cfg = self.config
         b, t = input_ids.shape
         word = GatherEmbed(cfg.vocab_size, cfg.hidden_size,
@@ -122,6 +129,7 @@ class BertEmbeddings(nn.Module):
                           name="token_type_embeddings")(token_type_ids)
         x = word + pos + typ
         x = Fp32LayerNorm(epsilon=cfg.layer_norm_eps, name="norm")(x)
+        x = nn.Dropout(cfg.hidden_dropout_prob)(x, deterministic=deterministic)
         return x.astype(cfg.dtype)
 
 
@@ -129,7 +137,7 @@ class BertSelfAttention(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, x, additive_mask):
+    def __call__(self, x, additive_mask, deterministic: bool = True):
         cfg = self.config
         b, t, d = x.shape
         head_dim = cfg.hidden_size // cfg.num_heads
@@ -146,6 +154,8 @@ class BertSelfAttention(nn.Module):
                           preferred_element_type=jnp.float32)
         attn = attn / jnp.sqrt(jnp.float32(head_dim)) + additive_mask
         attn = jax.nn.softmax(attn, axis=-1).astype(cfg.dtype)
+        attn = nn.Dropout(cfg.attention_probs_dropout_prob)(
+            attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(cfg.dtype)
         return out.reshape(b, t, cfg.hidden_size)
@@ -155,11 +165,14 @@ class BertLayer(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, x, additive_mask):
+    def __call__(self, x, additive_mask, deterministic: bool = True):
         cfg = self.config
-        attn_out = BertSelfAttention(cfg, name="attention")(x, additive_mask)
+        drop = nn.Dropout(cfg.hidden_dropout_prob)
+        attn_out = BertSelfAttention(cfg, name="attention")(
+            x, additive_mask, deterministic=deterministic)
         attn_out = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
                             param_dtype=jnp.float32, name="attention_output")(attn_out)
+        attn_out = drop(attn_out, deterministic=deterministic)
         x = Fp32LayerNorm(epsilon=cfg.layer_norm_eps,
                           name="attention_norm")(x + attn_out)
         ffn = nn.Dense(cfg.intermediate_size, dtype=cfg.dtype,
@@ -167,6 +180,7 @@ class BertLayer(nn.Module):
         ffn = nn.gelu(ffn, approximate=False)
         ffn = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
                        param_dtype=jnp.float32, name="output")(ffn)
+        ffn = drop(ffn, deterministic=deterministic)
         return Fp32LayerNorm(epsilon=cfg.layer_norm_eps,
                              name="output_norm")(x + ffn)
 
@@ -178,15 +192,18 @@ class BertModel(nn.Module):
     config: BertConfig
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, token_type_ids
+    def __call__(self, input_ids, attention_mask, token_type_ids,
+                 deterministic: bool = True
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Tuple[jnp.ndarray, ...]]:
         cfg = self.config
-        x = BertEmbeddings(cfg, name="embeddings")(input_ids, token_type_ids)
+        x = BertEmbeddings(cfg, name="embeddings")(
+            input_ids, token_type_ids, deterministic=deterministic)
         additive_mask = jnp.where(attention_mask[:, None, None, :] > 0, 0.0,
                                   -1e9).astype(jnp.float32)
         hidden_states = (x,)
         for i in range(cfg.num_layers):
-            x = BertLayer(cfg, name=f"layer_{i}")(x, additive_mask)
+            x = BertLayer(cfg, name=f"layer_{i}")(
+                x, additive_mask, deterministic=deterministic)
             hidden_states = hidden_states + (x,)
         pooled = nn.Dense(cfg.hidden_size, dtype=cfg.dtype,
                           param_dtype=jnp.float32, name="pooler")(x[:, 0])

@@ -59,9 +59,10 @@ class MedMoE(nn.Module):
                                   deterministic=deterministic)
 
     def encode_text(self, input_ids, attention_mask, token_type_ids,
-                    segment_ids):
+                    segment_ids, deterministic: bool = True):
         word, sent = self.text_encoder(input_ids, attention_mask,
-                                       token_type_ids, segment_ids)
+                                       token_type_ids, segment_ids,
+                                       deterministic=deterministic)
         if self.text.get("projection", False):
             # reference med_moe.py:87-90 (marked "not tested" there)
             return word, sent
@@ -76,7 +77,8 @@ class MedMoE(nn.Module):
                             jnp.ndarray, Optional[jnp.ndarray]]:
         text_emb_l, text_emb_g = self.encode_text(
             batch["input_ids"], batch["attention_mask"],
-            batch["token_type_ids"], batch["segment_ids"])
+            batch["token_type_ids"], batch["segment_ids"],
+            deterministic=deterministic)
         img_emb_g, img_emb_l, router_probs = self.encode_image(
             batch["image"], deterministic=deterministic)
         return img_emb_g, img_emb_l, text_emb_g, text_emb_l, router_probs

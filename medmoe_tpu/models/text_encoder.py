@@ -53,7 +53,8 @@ class BertTextEncoder(nn.Module):
     bert_config: Optional[BertConfig] = None
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, token_type_ids, segment_ids):
+    def __call__(self, input_ids, attention_mask, token_type_ids, segment_ids,
+                 deterministic: bool = True):
         cfg = self.cfg
         bert_cfg = self.bert_config or BertConfig(
             vocab_size=int(cfg.get("vocab_size", 28996)),
@@ -63,13 +64,18 @@ class BertTextEncoder(nn.Module):
             intermediate_size=int(cfg.get("intermediate_size", 3072)),
             max_position_embeddings=int(
                 cfg.get("max_position_embeddings", 512)),
+            hidden_dropout_prob=float(
+                cfg.get("hidden_dropout_prob", 0.1)),
+            attention_probs_dropout_prob=float(
+                cfg.get("attention_probs_dropout_prob", 0.1)),
             dtype=jnp.dtype(cfg.get("dtype", "bfloat16")))
         last_n = int(cfg.get("last_n_layers", 4))
         agg_method = cfg.get("aggregate_method", "sum")
         embed_dim = int(cfg.get("embed_dim", 768))
 
         _, _, hidden_states = BertModel(bert_cfg, name="bert")(
-            input_ids, attention_mask, token_type_ids)
+            input_ids, attention_mask, token_type_ids,
+            deterministic=deterministic)
 
         if last_n > 1:
             stacked = jnp.stack(hidden_states[-last_n:], axis=1)  # [B, L, T, D]

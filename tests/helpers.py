@@ -15,6 +15,10 @@ TINY_TEXT = dict(
     agg_tokens=True, max_length=10, embed_dim=16, hidden_size=16,
     num_layers=2, num_heads=2, intermediate_size=32, vocab_size=200,
     dtype="float32", projection=False,
+    # dropout off: train-mode tiny tests (accum≡monolithic, accum≡big-batch,
+    # overfit) assert deterministic-math equalities; BERT dropout itself is
+    # covered by test_models.py::TestBertDropout with the real 0.1 rates
+    hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
 )
 TINY_LOSS = dict(
     soft_label=False, temp1=4.0, temp2=5.0, temp3=10.0, agg="sum",

@@ -64,6 +64,58 @@ class TestSwin:
         assert np.abs(g1[boundary] - g2[boundary]).max() == 0
 
 
+class TestBertDropout:
+    """HF bert-base trains with hidden/attention dropout 0.1; the reference
+    runs it even on the frozen tower (Lightning train() mode + freeze_bert
+    stopping only gradients). Train mode must be stochastic per rng; eval
+    mode (deterministic=True, every parity/eval path) must be unaffected."""
+
+    def _bert(self):
+        from medmoe_tpu.models.bert import BertConfig, BertModel
+
+        cfg = BertConfig(vocab_size=64, hidden_size=16, num_layers=2,
+                         num_heads=2, intermediate_size=32,
+                         max_position_embeddings=16, dtype=jnp.float32)
+        ids = np.ones((2, 8), np.int32)
+        mask = np.ones((2, 8), np.int32)
+        typ = np.zeros((2, 8), np.int32)
+        m = BertModel(cfg)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), ids, mask, typ)
+        return m, v, (ids, mask, typ)
+
+    def test_train_mode_stochastic_eval_deterministic(self):
+        m, v, args = self._bert()
+        ev1, _, _ = m.apply(v, *args)                    # deterministic=True
+        ev2, _, _ = m.apply(v, *args)
+        np.testing.assert_array_equal(np.asarray(ev1), np.asarray(ev2))
+
+        tr1, _, _ = m.apply(v, *args, deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(1)})
+        tr2, _, _ = m.apply(v, *args, deterministic=False,
+                            rngs={"dropout": jax.random.PRNGKey(2)})
+        assert np.abs(np.asarray(tr1) - np.asarray(tr2)).max() > 0
+        assert np.abs(np.asarray(tr1) - np.asarray(ev1)).max() > 0
+
+    def test_zero_rates_make_train_equal_eval(self):
+        from medmoe_tpu.models.bert import BertConfig, BertModel
+
+        cfg = BertConfig(vocab_size=64, hidden_size=16, num_layers=2,
+                         num_heads=2, intermediate_size=32,
+                         max_position_embeddings=16,
+                         hidden_dropout_prob=0.0,
+                         attention_probs_dropout_prob=0.0,
+                         dtype=jnp.float32)
+        ids = np.ones((2, 8), np.int32)
+        mask = np.ones((2, 8), np.int32)
+        typ = np.zeros((2, 8), np.int32)
+        m = BertModel(cfg)
+        v = jax.jit(m.init)(jax.random.PRNGKey(0), ids, mask, typ)
+        ev, _, _ = m.apply(v, ids, mask, typ)
+        tr, _, _ = m.apply(v, ids, mask, typ, deterministic=False,
+                           rngs={"dropout": jax.random.PRNGKey(1)})
+        np.testing.assert_array_equal(np.asarray(ev), np.asarray(tr))
+
+
 class TestMedMoEForward:
     def test_output_shapes(self, module_and_params):
         mod, params, batch = module_and_params

@@ -31,6 +31,10 @@ TINY_OVERRIDES = [
     "model.model.text.embed_dim=16",
     "model.model.text.max_length=10",
     "model.model.text.dtype=float32",
+    # deterministic train-mode math for loss-decrease/equality assertions
+    # (BERT dropout itself is covered in test_models.py::TestBertDropout)
+    "model.model.text.hidden_dropout_prob=0.0",
+    "model.model.text.attention_probs_dropout_prob=0.0",
     "trainer.accelerator=cpu",
     "trainer.devices=1",        # batch 4 won't split over the 8 fake devices
     "trainer.num_sanity_val_steps=1",
