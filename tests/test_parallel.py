@@ -12,6 +12,27 @@ from tests.helpers import tiny_batch, tiny_module, tiny_vision, tiny_text, tiny_
 pytestmark = pytest.mark.slow
 
 
+def _assert_step_equivalent(m1, m2, state1, state2):
+    """Sharded and replicated executions of one train step must agree.
+
+    Loss components and the gradient global norm are compared tightly —
+    they are well-conditioned contractions of everything. Post-Adam params
+    get an Adam-step-bounded atol on top: the mesh psum's different
+    reduction ORDER perturbs roundoff-level gradients, and Adam normalizes
+    any nonzero gradient to an lr-sized update, so a sign flip on a
+    ~1e-8 gradient legitimately moves a parameter by up to 2·lr = 1e-4
+    without any math difference."""
+    for key in ("loss", "l_loss", "g_loss", "c_loss"):
+        np.testing.assert_allclose(float(m1[key]), float(m2[key]),
+                                   rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(state1.params),
+                    jax.tree_util.tree_leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1.2e-4)
+
+
 class TestExpertParallel:
     def test_ep_sharding_matches_replicated(self):
         """The same train step under (data=4, expert=2) EP sharding must
@@ -46,12 +67,7 @@ class TestExpertParallel:
         step2 = build_train_step(mod, mesh=mesh, accum_steps=1, donate=False)
         state2, m2 = step2(state2, batch, jax.random.PRNGKey(1))
 
-        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
-                                   rtol=1e-4)
-        for a, b in zip(jax.tree_util.tree_leaves(state1.params),
-                        jax.tree_util.tree_leaves(state2.params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=1e-5)
+        _assert_step_equivalent(m1, m2, state1, state2)
 
     def test_ep_top2_matches_replicated(self):
         """Top-2 capacity dispatch sharded over the expert axis ≡ the same
@@ -85,12 +101,7 @@ class TestExpertParallel:
         step2 = build_train_step(mod, mesh=mesh, accum_steps=1, donate=False)
         state2, m2 = step2(state2, batch, jax.random.PRNGKey(1))
 
-        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
-                                   rtol=1e-4)
-        for a, b in zip(jax.tree_util.tree_leaves(state1.params),
-                        jax.tree_util.tree_leaves(state2.params)):
-            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=1e-3, atol=1e-5)
+        _assert_step_equivalent(m1, m2, state1, state2)
 
     def test_expert_params_actually_sharded(self):
         from medmoe_tpu.config import DotDict
