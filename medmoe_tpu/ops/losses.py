@@ -296,8 +296,10 @@ class GLORIALocalContrastiveLoss:
 
     Small batches (B≤64, the unchunked-XLA regime): plain batched einsums —
     XLA stores the [B,B,M,T] attention residuals in forward and reuses them
-    in backward, beating the Pallas-forward + rematerialized-backward combo
-    by ~4 ms/step at B=32 on v5e (measured on the full train step).
+    in backward, beating the Pallas kernels even after their backward
+    became recompute-in-VMEM kernels too (5.67 vs 7.34 ms fwd+bwd isolated
+    at B=32, M=361 on v5e — storing residuals beats recomputing them while
+    everything fits).
 
     Large batches (B>64): the fused Pallas similarity kernel
     (medmoe_tpu/ops/pallas/gloria_attention.py — the [M,T] attention never
