@@ -191,6 +191,12 @@ class UnimedDataModule(BaseDataModule):
     tar shards with {jpg|png, txt, cls}, resampled shard sampling, caption
     template sampling, modality label for router supervision."""
 
+    # the cls label space, as defined by the auto-labeler scripts (reference
+    # scripts/label_roco.py:18-25; scripts/label_modality.py here) — the
+    # zero-shot eval's default prompt classes for this data
+    CLASS_NAMES = ["X-ray", "CT scan", "MRI scan", "Ultrasound",
+                   "Histopathology", "Fundus photograph"]
+
     def __init__(self, train_data_paths: str = "", val_data_paths: str = "",
                  test_data_paths: str = "", data_dir: str = "",
                  resampled: bool = True, shuffle_buffer: int = 5000,

@@ -201,8 +201,12 @@ def run_eval_zs(cfg, module=None, datamodule=None,
 
     protocol = cfg.eval.get("protocol", "zero_shot")
     if protocol == "zero_shot":
+        # precedence: explicit config > the dataset's own label space
+        # (CheXpert competition tasks / the UniMed modality classes from
+        # the labeler scripts) > bare indices
         class_names = list(cfg.eval.get("class_names")
                            or getattr(datamodule, "COMPETITION_TASKS", None)
+                           or getattr(datamodule, "CLASS_NAMES", None)
                            or [str(i) for i in range(datamodule.num_classes)])
         return zero_shot_classification(
             module, params, tokenizer, datamodule.test_dataloader(),
