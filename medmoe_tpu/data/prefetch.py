@@ -55,8 +55,12 @@ def prefetch(iterable: Iterable, depth: int = 2,
     stop = threading.Event()
 
     def worker():
-        it = iter(iterable)
+        it = None
         try:
+            # inside the try: an __iter__ that raises (e.g. missing shard
+            # files opened there) must surface as _WorkerError, not kill
+            # the thread silently and deadlock the consumer's q.get()
+            it = iter(iterable)
             while True:
                 # check stop BEFORE pulling: a consumer that exited early
                 # shouldn't trigger one more (possibly expensive) decode.
@@ -85,7 +89,7 @@ def prefetch(iterable: Iterable, depth: int = 2,
         finally:
             # release the source's resources (file handles, decode pools)
             # promptly instead of waiting for GC — generators expose close()
-            close = getattr(it, "close", None)
+            close = getattr(it, "close", None) if it is not None else None
             if close is not None:
                 try:
                     close()

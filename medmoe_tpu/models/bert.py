@@ -43,6 +43,25 @@ class BertConfig:
     attention_probs_dropout_prob: float = 0.1
     dtype: jnp.dtype = jnp.bfloat16
 
+    @classmethod
+    def from_cfg(cls, cfg) -> "BertConfig":
+        """Build from a `text` config node (the single source of truth —
+        every BertModel instantiated against the same node must agree on
+        parameter shapes, incl. max_position_embeddings)."""
+        return cls(
+            vocab_size=int(cfg.get("vocab_size", 28996)),
+            hidden_size=int(cfg.get("hidden_size", 768)),
+            num_layers=int(cfg.get("num_layers", 12)),
+            num_heads=int(cfg.get("num_heads", 12)),
+            intermediate_size=int(cfg.get("intermediate_size", 3072)),
+            max_position_embeddings=int(
+                cfg.get("max_position_embeddings", 512)),
+            hidden_dropout_prob=float(
+                cfg.get("hidden_dropout_prob", 0.1)),
+            attention_probs_dropout_prob=float(
+                cfg.get("attention_probs_dropout_prob", 0.1)),
+            dtype=jnp.dtype(cfg.get("dtype", "bfloat16")))
+
 
 class OneHotEmbed(nn.Embed):
     """``nn.Embed`` with the row gather replaced by a one-hot matmul.
@@ -84,6 +103,7 @@ def _gather_rows_bwd(residuals, g):
     d_table = jax.lax.dot_general(
         onehot, g.reshape(-1, g.shape[-1]).astype(jnp.float32),
         dimension_numbers=(((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32)
     return d_table, None
 

@@ -88,16 +88,10 @@ class MLPStack(nn.Module):
 
 
 def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
-    """x / ||x||_2 along ``axis`` (torch.norm-division analogue).
+    """x / ||x||_2 along ``axis`` (torch.norm-division analogue), via
+    ``safe_norm`` — the eps-inside-the-sqrt form whose gradient is finite
+    at x = 0 (see its docstring; one shared definition of the idiom)."""
+    from medmoe_tpu.ops.losses import safe_norm
 
-    The eps floor lives INSIDE the sqrt: ``x/max(sqrt(s), eps)`` and
-    ``x/sqrt(max(s, eps²))`` are bitwise-identical values (max commutes with
-    the monotone sqrt), but only the latter has a finite gradient at x = 0 —
-    sqrt'(0) is inf, and a zero row otherwise turns into NaN grads. Zero
-    rows are impossible in the reference (no capacity dropping) but routine
-    under the MoE dispatched modes, where capacity-overflow samples carry
-    exactly-zero embeddings."""
-    norm = jnp.sqrt(jnp.maximum(
-        jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True),
-        eps * eps))
-    return (x.astype(jnp.float32) / norm).astype(x.dtype)
+    xf = x.astype(jnp.float32)
+    return (xf / safe_norm(xf, axis=axis, eps=eps)).astype(x.dtype)

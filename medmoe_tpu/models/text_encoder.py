@@ -56,19 +56,7 @@ class BertTextEncoder(nn.Module):
     def __call__(self, input_ids, attention_mask, token_type_ids, segment_ids,
                  deterministic: bool = True):
         cfg = self.cfg
-        bert_cfg = self.bert_config or BertConfig(
-            vocab_size=int(cfg.get("vocab_size", 28996)),
-            hidden_size=int(cfg.get("hidden_size", 768)),
-            num_layers=int(cfg.get("num_layers", 12)),
-            num_heads=int(cfg.get("num_heads", 12)),
-            intermediate_size=int(cfg.get("intermediate_size", 3072)),
-            max_position_embeddings=int(
-                cfg.get("max_position_embeddings", 512)),
-            hidden_dropout_prob=float(
-                cfg.get("hidden_dropout_prob", 0.1)),
-            attention_probs_dropout_prob=float(
-                cfg.get("attention_probs_dropout_prob", 0.1)),
-            dtype=jnp.dtype(cfg.get("dtype", "bfloat16")))
+        bert_cfg = self.bert_config or BertConfig.from_cfg(cfg)
         last_n = int(cfg.get("last_n_layers", 4))
         agg_method = cfg.get("aggregate_method", "sum")
         embed_dim = int(cfg.get("embed_dim", 768))

@@ -28,8 +28,12 @@ class ModelCheckpoint(Callback):
                  monitor: str = "val/loss", mode: str = "min",
                  save_last: bool = True, save_top_k: int = 1,
                  auto_insert_metric_name: bool = False):
+        # Lightning semantics: null dirpath/filename fall back to defaults
+        # (the config group ships them as null, reference
+        # configs/callbacks/model_checkpoint.yaml); a null dirpath resolves
+        # under the trainer's root dir at save time, not the process cwd.
         self.dirpath = dirpath
-        self.filename = filename
+        self.filename = filename or "epoch_{epoch:03d}"
         self.monitor = monitor
         self.mode = mode
         self.save_last = save_last
@@ -46,17 +50,19 @@ class ModelCheckpoint(Callback):
         from medmoe_tpu.utils.checkpoint import save_checkpoint
 
         loop_extra = getattr(trainer, "checkpoint_extra", dict)()
+        dirpath = self.dirpath or os.path.join(
+            getattr(trainer, "default_root_dir", "."), "checkpoints")
         value = metrics.get(self.monitor)
         if self.save_top_k != 0 and value is not None \
                 and self._is_better(float(value)):
             self.best_value = float(value)
             name = self.filename.format(epoch=epoch)
-            self.best_path = os.path.join(self.dirpath, name)
+            self.best_path = os.path.join(dirpath, name)
             save_checkpoint(self.best_path, trainer.state,
                             extra={"epoch": epoch, self.monitor: value,
                                    **loop_extra})
         if self.save_last:
-            save_checkpoint(os.path.join(self.dirpath, "last"),
+            save_checkpoint(os.path.join(dirpath, "last"),
                             trainer.state,
                             extra={"epoch": epoch, **loop_extra})
 

@@ -139,14 +139,9 @@ class MedMoEPretrainingModule:
 
         bert_params = (tool_params if tool_params is not None
                        else params["text_encoder"]["bert"])
-        cfg = self.text_cfg
-        bert_cfg = BertConfig(
-            vocab_size=int(cfg.get("vocab_size", 28996)),
-            hidden_size=int(cfg.get("hidden_size", 768)),
-            num_layers=int(cfg.get("num_layers", 12)),
-            num_heads=int(cfg.get("num_heads", 12)),
-            intermediate_size=int(cfg.get("intermediate_size", 3072)),
-            dtype=jnp.dtype(cfg.get("dtype", "bfloat16")))
+        # Same shapes as the live tower (notably max_position_embeddings)
+        # or the frozen-snapshot apply fails with a param-shape mismatch.
+        bert_cfg = BertConfig.from_cfg(self.text_cfg)
         last, _, _ = BertModel(bert_cfg).apply(
             {"params": jax.lax.stop_gradient(bert_params)},
             batch["input_ids"], batch["attention_mask"],

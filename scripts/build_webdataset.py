@@ -26,9 +26,13 @@ image-path construction, label derivation, and sample expansion exactly:
 
 ``--mode join`` writes multi-template datasets as ONE sample whose caption is
 every template joined by the dataset separator (medmoe_tpu/data/templates.py
-samples one at load time) — same training distribution, ~K× smaller shards
-because the JPEG bytes are stored once instead of once per template.
-``--mode expand`` (default) matches the reference bytes-for-bytes.
+draws one uniformly at load time) — ~K× smaller shards because the JPEG
+bytes are stored once instead of once per template. NOT distribution-
+identical to expand: each ROW appears once per epoch regardless of its
+template count (expand weights rows by template count), and templates past
+the loader's per-dataset cap (sample_caption's [0:10] split, reference
+parity) are unreachable. ``--mode expand`` (default) matches the reference
+bytes-for-bytes; use it when training parity matters.
 
 Usage:
   python scripts/build_webdataset.py --dataset chexpert \
@@ -195,6 +199,10 @@ def build(dataset: str, annotations: str, image_root: str, output: str,
                     skipped += 1
                     continue
                 img_path, captions, label = parsed
+                # validate at build time, not mid-epoch: the loaders do
+                # int(sample['cls']), so a '4.0'/non-numeric annotation
+                # label must fail HERE (as a skipped row), not in training
+                label = int(float(str(label).strip() or 0))
                 jpg = reencode_jpeg(img_path)
             except Exception:
                 # reference quilt swallows per-row errors; others would

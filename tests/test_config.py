@@ -168,3 +168,39 @@ def test_callbacks_default_instantiates():
     names = {type(cb).__name__ for cb in cbs}
     assert names == {"ModelCheckpoint", "EarlyStopping", "ModelSummary",
                      "ProgressBar"}
+
+
+def test_model_checkpoint_null_paths_get_defaults():
+    """The standalone group ships dirpath/filename as null (reference
+    model_checkpoint.yaml); instantiation must fall back to usable defaults
+    instead of dying at first epoch end on None.format / join(None, ...)."""
+    from medmoe_tpu.utils import instantiate_dict
+
+    cfg = compose("train", ["experiment=pretraining_medmoe",
+                            "callbacks=model_checkpoint"])
+    assert cfg.callbacks.model_checkpoint.dirpath is None
+    (cb,) = instantiate_dict(cfg.callbacks)
+    assert cb.filename.format(epoch=3) == "epoch_003"
+
+    # and a full save cycle resolves the null dirpath under the trainer's
+    # root dir, not the process cwd
+    import os
+    import tempfile
+
+    import jax.numpy as jnp
+    import optax
+
+    from medmoe_tpu.train.state import TrainState
+
+    class _FakeTrainer:
+        state = TrainState.create({"w": jnp.ones((2,))}, optax.sgd(1e-3))
+
+        def checkpoint_extra(self):
+            return {}
+
+    with tempfile.TemporaryDirectory() as root:
+        trainer = _FakeTrainer()
+        trainer.default_root_dir = root
+        cb.on_epoch_end(trainer, epoch=0, metrics={"val/loss": 1.0})
+        assert cb.best_path == os.path.join(root, "checkpoints", "epoch_000")
+        assert os.path.isdir(cb.best_path)

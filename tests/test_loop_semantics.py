@@ -73,6 +73,27 @@ class TestToolBert:
         assert not np.allclose(np.asarray(scores0), np.asarray(scores_live),
                                atol=1e-3)
 
+    def test_soft_targets_respect_position_table_size(self):
+        """_soft_targets must rebuild the tool BERT with the SAME config as
+        the live tower (BertConfig.from_cfg); a non-default
+        max_position_embeddings previously crashed with a param-shape
+        mismatch because the rebuilt config silently used the 512 default."""
+        from medmoe_tpu.config import DotDict
+        from medmoe_tpu.train.module import MedMoEPretrainingModule
+
+        mod = MedMoEPretrainingModule(
+            model=DotDict(dict(
+                vision=tiny_vision(),
+                text=tiny_text(freeze_bert=False,
+                               max_position_embeddings=12))),
+            loss=tiny_loss(soft_label=True))
+        batch, _ = tiny_batch()
+        params = mod.init_params(jax.random.PRNGKey(0), batch)
+        mod.capture_tool_params(params)
+        scores, thr = mod._soft_targets(params, batch, mod.tool_bert_params)
+        assert np.all(np.isfinite(np.asarray(scores)))
+        assert scores.shape[0] == scores.shape[1] == batch["image"].shape[0]
+
     def test_train_step_runs_with_tool(self):
         from medmoe_tpu.train.state import TrainState
         from medmoe_tpu.train.step import build_train_step

@@ -39,6 +39,17 @@ class TestPrefetch:
         with pytest.raises(RuntimeError, match="decode failed"):
             list(it)
 
+    def test_iter_exception_propagates(self):
+        """An iterable whose __iter__ itself raises (e.g. shard files opened
+        there) must surface to the consumer, not silently kill the worker
+        thread and deadlock q.get()."""
+        class BadIterable:
+            def __iter__(self):
+                raise FileNotFoundError("shard missing")
+
+        with pytest.raises(FileNotFoundError, match="shard missing"):
+            list(prefetch(BadIterable(), depth=2))
+
     def test_early_exit_stops_worker(self):
         produced = []
 
