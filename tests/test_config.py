@@ -37,6 +37,19 @@ def test_group_override():
     assert cfg.data.num_samples == 256  # synthetic's own field survives
 
 
+def test_trainer_group_variants_compose():
+    """Every trainer= override a reference user might type (the reference
+    README's documented launch uses `trainer=ddp trainer.devices=8`,
+    SURVEY 3.2) composes onto the SPMD mesh trainer."""
+    for option, mesh_expert in [("ddp", 1), ("ddp_sim", 1), ("tpu", 1),
+                                ("ep", 2), ("cpu", 1)]:
+        cfg = compose("train", ["experiment=pretraining_medmoe",
+                                f"trainer={option}", "trainer.devices=8"])
+        assert cfg.trainer._target_.endswith("Trainer"), option
+        assert cfg.trainer.devices == 8, option
+        assert cfg.trainer.mesh.expert == mesh_expert, option
+
+
 def test_value_overrides():
     cfg = compose(
         "train",
