@@ -17,6 +17,8 @@ grad-clip 0.25) and prints ONE JSON line. Legs:
                       reference batch; round-2 headline leg)
   * fit_value       — Trainer.fit loop throughput on device-cached batches
                       (captures loop overhead vs the raw compute leg)
+  * infer_value     — serving: zero-shot encode_image + L2-norm images/sec
+                      per chip at eval batch 256 (the cli/eval_zs.py path)
   * e2e_value       — tar→device throughput: JPEG tar shards streamed
                       through UnimedDataModule (thread-pool decode, uint8
                       shipping + on-device normalize) into the same step
@@ -302,6 +304,47 @@ def measure_host_pipeline(cfg, global_batch):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def measure_inference(module, cfg, params, n_chips, batch_size: int = 256):
+    """Serving leg: zero-shot image-encode throughput (images/sec/chip).
+
+    The deployed protocol (cli/eval_zs.py, eval/zero_shot.py) is: encode
+    class prompts once, then stream images through encode_image + L2-norm
+    and argmax cosine similarity — so the image tower forward IS the
+    serving hot path (the [B, C] similarity matmul is negligible). Images
+    are pre-placed on device (this harness's ~35 MB/s tunnel would
+    otherwise dominate; a real PCIe host keeps up — see host_note)."""
+    import jax
+    import jax.numpy as jnp
+
+    tiny = bool(int(os.environ.get("MEDMOE_BENCH_TINY", "0")))
+    b = (8 if tiny else batch_size) * n_chips
+    vision = cfg.model.model.vision
+    rng = np.random.RandomState(3)
+    images = rng.randn(b, int(vision.image_size), int(vision.image_size),
+                       3).astype(np.float32)
+
+    @jax.jit
+    def encode(p, im):
+        g, _, _ = module.model.apply(
+            {"params": p}, im,
+            method=lambda mdl, x: mdl.encode_image(x, deterministic=True))
+        g = g.astype(jnp.float32)
+        return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
+                               1e-12)
+
+    placed = jax.device_put(images)
+    out = encode(params, placed)
+    float(out[0, 0])                      # value fetch — see measure_compute
+    best = float("inf")
+    for _ in range(BURSTS):
+        t0 = time.perf_counter()
+        for _ in range(STEPS_PER_BURST):
+            out = encode(params, placed)
+        float(out[0, 0])
+        best = min(best, (time.perf_counter() - t0) / STEPS_PER_BURST)
+    return b / best / n_chips
+
+
 def measure_fit(global_batch: int, n_chips: int,
                 experiment: str = "pretraining_medmoe_ddp",
                 accum: int = 1, opt_steps: int = 3):
@@ -351,6 +394,14 @@ def main() -> None:
     if mode in ("both", "e2e"):
         e2e = measure_e2e(module, cfg, mesh, state, step, gb32, n_chips)
         host = measure_host_pipeline(cfg, gb32)
+
+    # --- serving leg: zero-shot encode_image throughput ------------------
+    infer = None
+    infer_note = None
+    try:
+        infer = measure_inference(module, cfg, state.params, n_chips)
+    except Exception as exc:
+        infer_note = f"inference leg failed: {type(exc).__name__}: {exc}"
     del state, step, batch          # release HBM before the big-batch leg
 
     # --- leg 2 (headline): the reference's full 8-GPU DDP global batch
@@ -425,6 +476,14 @@ def main() -> None:
             out["fit_note"] += f" ({fit_note})"
     elif fit_note:
         out["fit_note"] = fit_note
+    if infer is not None:
+        out["infer_value"] = round(infer, 2)
+        out["infer_note"] = ("zero-shot serving: encode_image + L2-norm "
+                             "images/sec/chip at eval batch 256 (the "
+                             "cli/eval_zs.py hot path), device-resident "
+                             "inputs")
+    elif infer_note:
+        out["infer_note"] = infer_note
     if e2e is not None:
         out["e2e_value"] = round(e2e, 2)
         out["e2e_note"] = ("tar->decode->tokenize->device->step at B=32; "

@@ -20,6 +20,9 @@ log = get_logger(__name__)
 def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     overrides = list(argv if argv is not None else sys.argv[1:])
     cfg = compose("eval_zs", overrides)
+    from medmoe_tpu.utils.task import extras
+
+    extras(cfg)     # warnings/tags/config-print + persistent compile cache
     import jax
 
     if cfg.get("accelerator") == "cpu":

@@ -64,8 +64,33 @@ def extras(cfg: DotDict) -> None:
         warnings.filterwarnings("ignore")
     if ex.get("enforce_tags"):
         enforce_tags(cfg)
+    if ex.get("compile_cache", False):
+        enable_compile_cache(ex.get("compile_cache_dir"))
     if ex.get("print_config"):
         print_config_tree(cfg, save_dir=cfg.select("paths.output_dir"))
+
+
+def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
+    """Point JAX's persistent compilation cache at a run-stable directory.
+
+    Full-size TPU programs compile in minutes; a preemption resume, a sweep
+    job with the same shapes, or eval-after-train would otherwise pay that
+    again. Must run before the first jit compilation to cover it. Returns
+    the directory actually configured, or None if unavailable."""
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "medmoe_tpu", "xla")
+    try:
+        import jax
+
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        # default threshold (1s) already excludes trivial programs; make the
+        # floor explicit so behavior doesn't drift with jax versions
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return cache_dir
+    except Exception as exc:               # unsupported backend/version
+        log.warning(f"persistent compile cache disabled: {exc}")
+        return None
 
 
 def _render(node: Any, indent: int = 0) -> str:

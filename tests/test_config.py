@@ -183,6 +183,37 @@ def test_callbacks_default_instantiates():
                      "ProgressBar"}
 
 
+def test_persistent_compile_cache(tmp_path):
+    """extras.compile_cache points JAX's persistent compilation cache at a
+    run-stable dir (a preemption resume / sweep job with the same shapes
+    skips the minutes-long full-size recompile)."""
+    import jax
+    import numpy as np
+
+    from medmoe_tpu.utils.task import enable_compile_cache
+
+    prev_dir = jax.config.jax_compilation_cache_dir
+    prev_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        out = enable_compile_cache(str(tmp_path))
+        assert out == str(tmp_path)
+        assert jax.config.jax_compilation_cache_dir == str(tmp_path)
+        # floor to 0 so this tiny program is actually written
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        f = jax.jit(lambda x: (x @ x.T).sum() * 3.0)
+        float(f(np.ones((32, 32), np.float32)))
+        assert len(list(tmp_path.iterdir())) >= 1
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          prev_min)
+
+    # the default extras config enables it
+    cfg = compose("train", ["experiment=pretraining_medmoe"])
+    assert cfg.extras.compile_cache is True
+    assert cfg.extras.compile_cache_dir is None
+
+
 def test_model_checkpoint_null_paths_get_defaults():
     """The standalone group ships dirpath/filename as null (reference
     model_checkpoint.yaml); instantiation must fall back to usable defaults
