@@ -370,7 +370,11 @@ def measure_fit(global_batch: int, n_chips: int,
     steps = opt_steps * accum            # loader micro-batches per epoch
     dm = SyntheticDataModule(
         num_samples=global_batch * steps, batch_size=global_batch,
-        image_size=int(vision.image_size), max_length=int(text.max_length))
+        image_size=int(vision.image_size), max_length=int(text.max_length),
+        # labels feed the router CE: must stay inside [0, num_experts)
+        # (tiny shapes use 4 experts vs the datamodule's default 6 — an
+        # out-of-range label NaN'd the tiny fit leg's loss)
+        num_classes=int(vision.num_experts))
     trainer = Trainer(
         min_epochs=1, max_epochs=4, accelerator="tpu",
         accumulate_grad_batches=accum, gradient_clip_val=0.25,
@@ -386,6 +390,13 @@ def measure_fit(global_batch: int, n_chips: int,
 def main() -> None:
     mode = os.environ.get("MEDMOE_BENCH_MODE", "both")
     tiny = bool(int(os.environ.get("MEDMOE_BENCH_TINY", "0")))
+
+    # persistent compile cache: repeat bench runs skip the minutes-long
+    # full-size compiles (burst timing is post-compile, so measured
+    # throughput is unaffected)
+    from medmoe_tpu.utils.task import enable_compile_cache
+
+    enable_compile_cache()
 
     # --- leg 1: B=32/chip, full-batch global negatives (round-2 headline);
     #     the e2e/host legs ride this setup (per-chip reference batch) -----

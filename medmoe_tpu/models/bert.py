@@ -86,11 +86,16 @@ class OneHotEmbed(nn.Embed):
 
 @jax.custom_vjp
 def _gather_rows(table: jnp.ndarray, ids: jnp.ndarray) -> jnp.ndarray:
-    return jnp.take(table, ids, axis=0)
+    # out-of-range ids → zero rows (mode='fill'), matching OneHotEmbed's
+    # all-zero one-hot row AND this vjp's backward (whose one-hot drops
+    # OOB ids, i.e. the gradient of a zero constant). jnp.take's default
+    # fill is NaN for floats, which silently poisons the whole loss.
+    return jnp.take(table, ids, axis=0, mode="fill", fill_value=0.0)
 
 
 def _gather_rows_fwd(table, ids):
-    return jnp.take(table, ids, axis=0), (ids, table.shape[0])
+    out = jnp.take(table, ids, axis=0, mode="fill", fill_value=0.0)
+    return out, (ids, table.shape[0])
 
 
 def _gather_rows_bwd(residuals, g):

@@ -252,3 +252,64 @@ class TestLossDtype:
                                    float(m32["g_loss"]), rtol=1e-6)
         np.testing.assert_allclose(float(m16["c_loss"]),
                                    float(m32["c_loss"]), rtol=1e-6)
+
+
+class TestEmbedGather:
+    """GatherEmbed: plain-gather forward, one-hot-matmul backward
+    (models/bert.py _gather_rows)."""
+
+    def _table(self, n=50, d=16):
+        rng = np.random.RandomState(0)
+        return jnp.asarray(rng.randn(n, d).astype(np.float32))
+
+    def test_forward_matches_take_in_range(self):
+        from medmoe_tpu.models.bert import _gather_rows
+
+        table = self._table()
+        ids = jnp.asarray([0, 3, 49, 3])
+        np.testing.assert_array_equal(np.asarray(_gather_rows(table, ids)),
+                                      np.asarray(table)[[0, 3, 49, 3]])
+
+    def test_out_of_range_ids_are_zero_not_nan(self):
+        """jnp.take's default OOB mode is 'fill' with NaN, which silently
+        poisons the whole loss (hit by tokenizer/vocab mismatches). The
+        embed gather must return ZERO rows instead — the exact semantics
+        of OneHotEmbed's all-zero one-hot row and of this custom vjp's
+        backward (whose one-hot drops OOB ids)."""
+        from medmoe_tpu.models.bert import _gather_rows
+
+        table = self._table(n=8)
+        ids = jnp.asarray([2, 8, 100, 7])        # 8 and 100 out of range
+        out = np.asarray(_gather_rows(table, ids))
+        assert np.all(np.isfinite(out))
+        np.testing.assert_array_equal(out[1], np.zeros(16, np.float32))
+        np.testing.assert_array_equal(out[2], np.zeros(16, np.float32))
+        np.testing.assert_array_equal(out[0], np.asarray(table)[2])
+
+    def test_table_grad_matches_take_vjp(self):
+        from medmoe_tpu.models.bert import _gather_rows
+
+        table = self._table()
+        ids = jnp.asarray([[1, 2, 2], [4, 1, 0]])
+
+        def loss_custom(t):
+            return jnp.sum(jnp.sin(_gather_rows(t, ids)) ** 2)
+
+        def loss_take(t):
+            return jnp.sum(jnp.sin(jnp.take(t, ids, axis=0)) ** 2)
+
+        g1 = jax.grad(loss_custom)(table)
+        g2 = jax.grad(loss_take)(table)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-6, atol=1e-6)
+
+    def test_oob_ids_contribute_no_grad(self):
+        from medmoe_tpu.models.bert import _gather_rows
+
+        table = self._table(n=4)
+        ids = jnp.asarray([1, 9])                # 9 out of range
+        g = jax.grad(lambda t: jnp.sum(_gather_rows(t, ids)))(table)
+        g = np.asarray(g)
+        assert np.all(np.isfinite(g))
+        np.testing.assert_array_equal(g[1], np.ones(16, np.float32))
+        assert np.all(g[[0, 2, 3]] == 0)
