@@ -62,13 +62,18 @@ class LoRAEmbedding(nn.Module):
     def __call__(self, ids: jnp.ndarray) -> jnp.ndarray:
         table = nn.Embed(self.num_embeddings, self.features,
                          param_dtype=jnp.float32, name="base")
-        y = table(ids)
+        # explicit take with zero fill: jnp.take's default OOB mode fills
+        # NaN for floats, silently poisoning downstream losses on a
+        # tokenizer/vocab mismatch (same convention as models/bert.py)
+        y = jnp.take(table.embedding, ids, axis=0,
+                     mode="fill", fill_value=0.0)
         if self.r > 0:
             a = self.param("lora_a", nn.initializers.zeros,
                            (self.num_embeddings, self.r), jnp.float32)
             b = self.param("lora_b", nn.initializers.normal(1.0),
                            (self.r, self.features), jnp.float32)
-            y = y + (jnp.take(a, ids, axis=0) @ b) * (self.alpha / self.r)
+            y = y + (jnp.take(a, ids, axis=0, mode="fill", fill_value=0.0)
+                     @ b) * (self.alpha / self.r)
         return y
 
 
