@@ -19,9 +19,7 @@ from __future__ import annotations
 import csv
 import json
 import os
-import queue
 import random
-import threading
 from typing import Any, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
@@ -38,28 +36,16 @@ def _ceil_div(n: int, d: int) -> int:
 
 def prefetched(it: Iterator, size: int = 2) -> Iterator:
     """Background-thread prefetch so host preprocessing overlaps device
-    compute (the reference instead preprocesses inside model.forward)."""
-    q: queue.Queue = queue.Queue(maxsize=size)
-    sentinel = object()
-    error: List[BaseException] = []
+    compute (the reference instead preprocesses inside model.forward).
 
-    def worker():
-        try:
-            for item in it:
-                q.put(item)
-        except BaseException as e:  # propagate into the consumer
-            error.append(e)
-        finally:
-            q.put(sentinel)
+    Delegates to data/prefetch.prefetch — the stop-event variant. An
+    earlier inline implementation here had no early-exit signal: a
+    consumer that broke out mid-epoch (limit_*_batches, preemption) left
+    the worker thread blocked on q.put forever, leaking one thread (plus
+    its open tar handles / decode pool) per truncated epoch."""
+    from medmoe_tpu.data.prefetch import prefetch
 
-    threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if error:
-                raise error[0]
-            return
-        yield item
+    return prefetch(it, depth=size)
 
 
 class BaseDataModule:
