@@ -547,7 +547,9 @@ class PmcoaDataModule(BaseDataModule):
             except Exception:
                 continue
             caption = rec.get("caption") or rec.get("text") or ""
-            label = int(rec.get("label", rec.get("cls", 0)))
+            # float-tolerant like CsvDataModule: a '4.0' annotation label
+            # must not kill the epoch mid-stream
+            label = int(float(rec.get("label", rec.get("cls", 0)) or 0))
             yield img, caption, label
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
