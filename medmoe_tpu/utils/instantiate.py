@@ -47,7 +47,8 @@ def instantiate(cfg: Any, *args: Any, **overrides: Any) -> Any:
         else:
             kwargs[key] = value
     kwargs.update(overrides)
-    missing = [k for k, v in kwargs.items() if v == "???"]
+    missing = [k for k, v in kwargs.items()
+               if isinstance(v, str) and v == "???"]
     if missing:
         # hydra MISSING semantics: composing a group file that marks a field
         # '???' (e.g. callbacks/early_stopping.yaml monitor) requires the
