@@ -405,19 +405,21 @@ def main() -> None:
                                                  gb32, n_chips)
     b32_mfu, b32_flops = measure_mfu(state, step, batch, b32_time, n_chips)
 
-    e2e = None
-    host = None
-    if mode in ("both", "e2e"):
-        e2e = measure_e2e(module, cfg, mesh, state, step, gb32, n_chips)
-        host = measure_host_pipeline(cfg, gb32)
-
     # --- serving leg: zero-shot encode_image throughput ------------------
+    # BEFORE the e2e leg: its steps donate `state` without returning the
+    # updated one, so state.params is deleted afterwards
     infer = None
     infer_note = None
     try:
         infer = measure_inference(module, cfg, state.params, n_chips)
     except Exception as exc:
         infer_note = f"inference leg failed: {type(exc).__name__}: {exc}"
+
+    e2e = None
+    host = None
+    if mode in ("both", "e2e"):
+        e2e = measure_e2e(module, cfg, mesh, state, step, gb32, n_chips)
+        host = measure_host_pipeline(cfg, gb32)
     del state, step, batch          # release HBM before the big-batch leg
 
     # --- leg 2 (headline): the reference's full 8-GPU DDP global batch
