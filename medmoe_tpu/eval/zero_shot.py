@@ -160,9 +160,10 @@ def image_text_retrieval(module, params,
     return out
 
 
-def run_eval_zs(cfg, module=None, datamodule=None,
-                tokenizer=None) -> Dict[str, float]:
-    """Config-driven harness (configs/eval_zs.yaml)."""
+def load_for_eval(cfg, module=None, datamodule=None, tokenizer=None):
+    """(module, datamodule, tokenizer, params) for an eval/serving surface:
+    instantiate from config, init params from one batch, then apply
+    medclip_ckpt conversion and/or an orbax ckpt_path restore."""
     from medmoe_tpu.utils import instantiate
     from medmoe_tpu.utils.checkpoint import load_params
 
@@ -198,16 +199,28 @@ def run_eval_zs(cfg, module=None, datamodule=None,
             num_layers=int(cfg.model.model.text.num_layers))
     if cfg.get("ckpt_path"):
         params = load_params(cfg.ckpt_path, params)
+    return module, datamodule, tokenizer, params
+
+
+def default_class_names(cfg, datamodule) -> List[str]:
+    """Precedence: explicit config > the dataset's own label space
+    (CheXpert competition tasks / the UniMed modality classes from the
+    labeler scripts) > bare indices."""
+    return list(cfg.eval.get("class_names")
+                or getattr(datamodule, "COMPETITION_TASKS", None)
+                or getattr(datamodule, "CLASS_NAMES", None)
+                or [str(i) for i in range(datamodule.num_classes)])
+
+
+def run_eval_zs(cfg, module=None, datamodule=None,
+                tokenizer=None) -> Dict[str, float]:
+    """Config-driven harness (configs/eval_zs.yaml)."""
+    module, datamodule, tokenizer, params = load_for_eval(
+        cfg, module, datamodule, tokenizer)
 
     protocol = cfg.eval.get("protocol", "zero_shot")
     if protocol == "zero_shot":
-        # precedence: explicit config > the dataset's own label space
-        # (CheXpert competition tasks / the UniMed modality classes from
-        # the labeler scripts) > bare indices
-        class_names = list(cfg.eval.get("class_names")
-                           or getattr(datamodule, "COMPETITION_TASKS", None)
-                           or getattr(datamodule, "CLASS_NAMES", None)
-                           or [str(i) for i in range(datamodule.num_classes)])
+        class_names = default_class_names(cfg, datamodule)
         return zero_shot_classification(
             module, params, tokenizer, datamodule.test_dataloader(),
             class_names, cfg.eval.get("prompt_template",

@@ -187,6 +187,89 @@ class TestEvalZsCLI:
         assert metrics["retrieval/i2t_r@10"] == 1.0  # only 8 samples
 
 
+class TestServeCLI:
+    TINY_EVAL = [
+        "data=synthetic", "data.batch_size=4", "data.num_samples=8",
+        "data.image_size=56",
+        "model.model.vision.image_size=56",
+        "model.model.vision.swin_embed_dim=8",
+        "model.model.vision.swin_depths=[1,1]",
+        "model.model.vision.swin_num_heads=[1,2]",
+        "model.model.vision.num_experts=3",
+        "model.model.vision.embed_dim=16",
+        "model.model.vision.dtype=float32",
+        "model.model.text.hidden_size=16",
+        "model.model.text.num_layers=2",
+        "model.model.text.num_heads=2",
+        "model.model.text.intermediate_size=32",
+        "model.model.text.vocab_size=64",
+        "model.model.text.embed_dim=16",
+        "model.model.text.max_length=10",
+        "model.model.text.dtype=float32",
+        "serve.batch_size=4",
+    ]
+
+    def _write_images(self, tmp_path, n=6):
+        from PIL import Image
+        import numpy as np
+
+        rng = np.random.RandomState(0)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        for i in range(n):
+            arr = (rng.rand(56, 56, 3) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(img_dir / f"scan_{i}.jpg")
+        # one non-image file that must be skipped by extension
+        (img_dir / "notes.txt").write_text("not an image")
+        return img_dir
+
+    def test_classify_directory(self, tmp_path, capsys):
+        import json as _json
+
+        from medmoe_tpu.cli.serve import main
+
+        img_dir = self._write_images(tmp_path)
+        rc = main(self.TINY_EVAL + [f"serve.input={img_dir}",
+                                    f"paths.root_dir={tmp_path}"])
+        assert rc == 0
+        lines = [l for l in capsys.readouterr().out.splitlines()
+                 if l.startswith("{")]
+        assert len(lines) == 6          # 6 images (partial wave padded)
+        recs = [_json.loads(l) for l in lines]
+        names = set()
+        for r in recs:
+            assert "label" in r and "score" in r and "probs" in r
+            assert abs(sum(r["probs"].values()) - 1.0) < 1e-3
+            names.add(r["label"])
+        # labels come from the synthetic datamodule's class space
+        assert all(isinstance(n, str) for n in names)
+
+    def test_embed_list_file_and_bad_path(self, tmp_path, capsys):
+        import json as _json
+
+        from medmoe_tpu.cli.serve import main
+
+        img_dir = self._write_images(tmp_path, n=3)
+        listfile = tmp_path / "list.txt"
+        listfile.write_text("\n".join(
+            [str(img_dir / "scan_0.jpg"), str(tmp_path / "missing.jpg"),
+             str(img_dir / "scan_2.jpg")]))
+        rc = main(self.TINY_EVAL + [f"serve.input={listfile}",
+                                    "serve.mode=embed",
+                                    f"paths.root_dir={tmp_path}"])
+        assert rc == 0
+        recs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")]
+        assert len(recs) == 3
+        errs = [r for r in recs if "error" in r]
+        assert len(errs) == 1 and "missing.jpg" in errs[0]["path"]
+        embs = [r["embedding"] for r in recs if "embedding" in r]
+        assert len(embs) == 2 and len(embs[0]) == 16   # embed_dim
+        import numpy as np
+
+        assert abs(np.linalg.norm(embs[0]) - 1.0) < 1e-4
+
+
 class TestGraftEntry:
     def test_dryrun_multichip(self):
         import sys
