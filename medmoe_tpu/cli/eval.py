@@ -43,6 +43,13 @@ def evaluate(cfg) -> Dict[str, float]:
 
 def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     overrides = list(argv if argv is not None else sys.argv[1:])
+    from medmoe_tpu.cli._help import maybe_print_help
+
+    if maybe_print_help(
+            overrides, "python -m medmoe_tpu.cli.eval",
+            "Run the test loop from a checkpoint (reference configs/eval.yaml).",
+            ["python -m medmoe_tpu.cli.eval ckpt_path=<orbax-dir> data=unimed"]):
+        return {}
     cfg = compose("eval", overrides)
     extras(cfg)
     metrics = evaluate(cfg)

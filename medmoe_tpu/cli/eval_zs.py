@@ -19,6 +19,15 @@ log = get_logger(__name__)
 
 def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     overrides = list(argv if argv is not None else sys.argv[1:])
+    from medmoe_tpu.cli._help import maybe_print_help
+
+    if maybe_print_help(
+            overrides, "python -m medmoe_tpu.cli.eval_zs",
+            "Zero-shot classification / retrieval / linear probing.",
+            ["python -m medmoe_tpu.cli.eval_zs data=chexpert ckpt_path=...",
+             "python -m medmoe_tpu.cli.eval_zs data=unimed "
+             "eval.protocol=retrieval ckpt_path=..."]):
+        return {}
     cfg = compose("eval_zs", overrides)
     from medmoe_tpu.utils.task import extras
 

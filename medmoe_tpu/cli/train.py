@@ -148,6 +148,17 @@ def _run_one(overrides: List[str]) -> Dict[str, float]:
 
 def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     overrides = list(argv if argv is not None else sys.argv[1:])
+    from medmoe_tpu.cli._help import maybe_print_help
+
+    if maybe_print_help(
+            overrides, "python -m medmoe_tpu.cli.train",
+            "Train MedMoE (pretraining or classification).",
+            ["python -m medmoe_tpu.cli.train experiment=pretraining_medmoe",
+             "python -m medmoe_tpu.cli.train experiment=pretraining_medmoe "
+             "data=synthetic debug=fdr trainer.accelerator=cpu",
+             "python -m medmoe_tpu.cli.train --multirun "
+             "experiment=pretraining_medmoe model.loss.temp3=5,10"]):
+        return {}
     multirun = False
     for flag in ("-m", "--multirun"):
         while flag in overrides:

@@ -297,7 +297,14 @@ def compose(
         additive = ov.startswith("+")
         if additive:
             ov = ov[1:]
-        key, _, raw = ov.partition("=")
+        key, sep, raw = ov.partition("=")
+        if not sep:
+            # hydra errors on unparseable overrides too; silently accepting
+            # a bare token (e.g. '--help', or a typo'd 'experiment foo')
+            # used to start a full default training run
+            raise ValueError(
+                f"malformed override {ov!r}: expected key=value, "
+                f"group=option, +new.key=value, or ~key.path")
         value = _parse_value(raw)
         # A bare top-level name that names a config-group directory is a group
         # selection; anything dotted (or not a directory) is a value override.

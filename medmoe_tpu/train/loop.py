@@ -229,7 +229,13 @@ class Trainer:
         rng = jax.random.PRNGKey(self.seed)
 
         # init from one sample batch
-        init_batch = next(iter(datamodule.train_dataloader(epoch=0)))
+        try:
+            init_batch = next(iter(datamodule.train_dataloader(epoch=0)))
+        except StopIteration:
+            raise ValueError(
+                "the train dataloader yielded no batches — check the data "
+                "paths (data.train_data_paths / data.data_dir) and that "
+                "batch_size does not exceed the dataset size") from None
         params = jax.jit(module.init_params)(rng, init_batch)
         # frozen soft-label tool BERT = the INITIAL text-tower weights,
         # snapshotted before training or checkpoint restore mutates them

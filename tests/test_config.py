@@ -248,3 +248,21 @@ def test_model_checkpoint_null_paths_get_defaults():
         cb.on_epoch_end(trainer, epoch=0, metrics={"val/loss": 1.0})
         assert cb.best_path == os.path.join(root, "checkpoints", "epoch_000")
         assert os.path.isdir(cb.best_path)
+
+
+def test_malformed_override_rejected():
+    """A bare token ('--help', or a typo'd 'experiment foo') must error,
+    not silently become a junk key and start a default training run."""
+    for bad in ("--help", "experiment", "foo bar"):
+        with pytest.raises(ValueError, match="malformed override"):
+            compose("train", [bad])
+
+
+def test_cli_help_renders_groups(capsys):
+    from medmoe_tpu.cli._help import maybe_print_help
+
+    assert maybe_print_help(["--help"], "prog", "desc", ["ex1"]) is True
+    out = capsys.readouterr().out
+    assert "experiment=" in out and "pretraining_medmoe" in out
+    assert "trainer=" in out and "ddp" in out
+    assert maybe_print_help(["a=b"], "prog", "desc", []) is False
