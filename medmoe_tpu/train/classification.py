@@ -35,6 +35,7 @@ class ClassificationModule:
         self.vision_cfg = vision if isinstance(vision, DotDict) \
             else DotDict(vision or {})
         self.text_cfg = DotDict({})  # no text tower in this task
+        self.freeze_encoder = bool(freeze_encoder)
         encoder = ImageEncoder(self.vision_cfg)
         cls = PretrainedImageClassifier if freeze_encoder else ImageClassifier
         self.model = cls(encoder, num_classes=num_classes)
@@ -64,12 +65,28 @@ class ClassificationModule:
                       "l_loss": jnp.zeros(()), "g_loss": jnp.zeros(()),
                       "c_loss": loss, "c_acc": acc}
 
+    def trainable_mask(self, params: Any) -> Any:
+        """False on the frozen encoder subtree (linear probing keeps Adam
+        state only for the head — see MedMoEPretrainingModule.trainable_mask
+        for the rationale)."""
+        mask = jax.tree_util.tree_map(lambda _: True, params)
+        if self.freeze_encoder and "encoder" in params:
+            mask = {**mask, "encoder": jax.tree_util.tree_map(
+                lambda _: False, params["encoder"])}
+        return mask
+
     def make_optimizer(self, gradient_clip_val: Optional[float] = None):
         if self.optimizer_factory is None:
             from medmoe_tpu.train.optim import adam
 
-            return adam(lr=1e-3, gradient_clip_val=gradient_clip_val)
-        return self.optimizer_factory(gradient_clip_val=gradient_clip_val)
+            tx = adam(lr=1e-3, gradient_clip_val=gradient_clip_val)
+        else:
+            tx = self.optimizer_factory(gradient_clip_val=gradient_clip_val)
+        if self.freeze_encoder:
+            from medmoe_tpu.train.optim import freeze_mask
+
+            tx = freeze_mask(tx, self.trainable_mask)
+        return tx
 
     def make_scheduler(self):
         return self.scheduler_factory() if self.scheduler_factory else None

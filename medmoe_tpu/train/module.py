@@ -13,7 +13,10 @@ Loss composition (reference medmoe_module.py:284-316):
 Parameter freezing (reference text_encoder.py:27-30 freeze_bert /
 vision_encoder.py:51-54 freeze_cnn) is implemented with stop_gradient on the
 frozen subtree — unlike requires_grad=False this also skips the frozen
-tower's backward pass entirely (XLA dead-code-eliminates it).
+tower's backward pass entirely (XLA dead-code-eliminates it) — plus
+optax.masked on the optimizer (trainable_mask), so frozen params carry no
+Adam moments and are never touched by the update/decay passes, matching
+torch Adam's skip of grad-less params.
 
 ``block_size`` computes the contrastive losses on per-device-sized blocks of
 the global batch — the exact math of the reference's per-rank DDP losses
@@ -229,12 +232,43 @@ class MedMoEPretrainingModule:
         return loss, metrics
 
     # ------------------------------------------------------------------
+    def trainable_mask(self, params: Any) -> Any:
+        """Bool pytree: False on frozen subtrees (freeze_bert / freeze_cnn).
+
+        Frozen subtrees get stop_gradient in loss_fn (their grads are exact
+        zeros); this mask additionally drops them from the optimizer, so
+        they carry no Adam moments (≈880 MB HBM for BERT-base) and skip the
+        per-step moment-decay / apply_updates elementwise passes — matching
+        torch Adam, which never visits requires_grad=False params."""
+        mask = jax.tree_util.tree_map(lambda _: True, params)
+        if self.text_cfg.get("freeze_bert", False) and \
+                "text_encoder" in params and "bert" in params["text_encoder"]:
+            te = dict(mask["text_encoder"])
+            te["bert"] = jax.tree_util.tree_map(
+                lambda _: False, params["text_encoder"]["bert"])
+            mask = {**mask, "text_encoder": te}
+        if self.vision_cfg.get("freeze_cnn", False) and \
+                "image_encoder" in params:
+            mask = {**mask, "image_encoder": jax.tree_util.tree_map(
+                lambda _: False, params["image_encoder"])}
+        return mask
+
+    def _has_frozen(self) -> bool:
+        return bool(self.text_cfg.get("freeze_bert", False)
+                    or self.vision_cfg.get("freeze_cnn", False))
+
     def make_optimizer(self, gradient_clip_val: Optional[float] = None):
         if self.optimizer_factory is None:
             from medmoe_tpu.train.optim import adam
 
-            return adam(gradient_clip_val=gradient_clip_val)
-        return self.optimizer_factory(gradient_clip_val=gradient_clip_val)
+            tx = adam(gradient_clip_val=gradient_clip_val)
+        else:
+            tx = self.optimizer_factory(gradient_clip_val=gradient_clip_val)
+        if self._has_frozen():
+            from medmoe_tpu.train.optim import freeze_mask
+
+            tx = freeze_mask(tx, self.trainable_mask)
+        return tx
 
     def make_scheduler(self):
         return self.scheduler_factory() if self.scheduler_factory else None

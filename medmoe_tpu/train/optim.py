@@ -36,8 +36,34 @@ def adam(lr: float = 5e-5, weight_decay: float = 0.0, b1: float = 0.9,
     return optax.inject_hyperparams(build)(learning_rate=lr)
 
 
+def freeze_mask(tx: optax.GradientTransformation,
+                mask: Any) -> optax.GradientTransformation:
+    """Apply ``tx`` only to trainable leaves (``mask`` leaf True).
+
+    Frozen leaves carry NO optimizer state (no Adam moments — ~880 MB of
+    HBM for a frozen BERT-base) and their "update" is the incoming
+    gradient passed through unchanged — exactly zero under stop_gradient
+    freezing, so apply_updates is a no-op on them. This matches torch
+    Adam's behavior for requires_grad=False params (skipped entirely), in
+    particular weight decay does NOT touch frozen params. ``mask`` may be
+    a pytree of bools or a callable params→pytree (evaluated lazily, so
+    the transformation can be built before the params exist).
+    """
+    return optax.masked(tx, mask)
+
+
+def _unwrap_masked(opt_state: Any) -> Any:
+    while isinstance(opt_state, optax.MaskedState):
+        opt_state = opt_state.inner_state
+    return opt_state
+
+
 def set_learning_rate(opt_state: Any, lr: float) -> Any:
-    """Rewrite the injected learning rate inside an optimizer state."""
+    """Rewrite the injected learning rate inside an optimizer state
+    (descending through optax.MaskedState wrappers)."""
+    if isinstance(opt_state, optax.MaskedState):
+        return optax.MaskedState(
+            inner_state=set_learning_rate(opt_state.inner_state, lr))
     hp = dict(opt_state.hyperparams)
     hp["learning_rate"] = jnp.asarray(lr, dtype=jnp.asarray(
         hp["learning_rate"]).dtype)
@@ -45,7 +71,7 @@ def set_learning_rate(opt_state: Any, lr: float) -> Any:
 
 
 def get_learning_rate(opt_state: Any) -> float:
-    return float(opt_state.hyperparams["learning_rate"])
+    return float(_unwrap_masked(opt_state).hyperparams["learning_rate"])
 
 
 class reduce_lr_on_plateau:  # noqa: N801 — config-surface name

@@ -223,3 +223,126 @@ class TestSchedulerCheckpointState:
         np.testing.assert_allclose(float(m1["grad_norm"]),
                                    float(m2["grad_norm"]), rtol=1e-4)
         del s1, s2
+
+
+class TestFrozenParamMasking:
+    """Frozen subtrees (freeze_bert/freeze_cnn/freeze_encoder) are masked
+    out of the optimizer (optax.masked): no Adam moments, no weight decay,
+    bitwise-unchanged params — matching torch Adam, which skips
+    requires_grad=False params entirely."""
+
+    def _module(self, **loss_kw):
+        from medmoe_tpu.config import DotDict
+        from medmoe_tpu.train.module import MedMoEPretrainingModule
+
+        return MedMoEPretrainingModule(
+            model=DotDict(dict(vision=tiny_vision(),
+                               text=tiny_text(freeze_bert=True))),
+            loss=tiny_loss(**loss_kw))
+
+    def test_frozen_bert_has_no_adam_state(self):
+        import optax
+
+        from medmoe_tpu.train.state import TrainState
+
+        mod = self._module()
+        batch, _ = tiny_batch()
+        params = jax.jit(mod.init_params)(jax.random.PRNGKey(0), batch)
+        state = TrainState.create(params, mod.make_optimizer())
+        assert isinstance(state.opt_state, optax.MaskedState)
+        moment_leaves = [
+            x for x in jax.tree_util.tree_leaves(state.opt_state)
+            if hasattr(x, "shape")]
+        n_moments = sum(x.size for x in moment_leaves if x.ndim > 0)
+        n_frozen = sum(
+            x.size for x in jax.tree_util.tree_leaves(
+                params["text_encoder"]["bert"]))
+        n_all = sum(x.size for x in jax.tree_util.tree_leaves(params))
+        # Adam keeps mu+nu for trainable params only
+        assert n_moments == 2 * (n_all - n_frozen)
+
+    def test_frozen_bert_params_bitwise_unchanged(self):
+        from medmoe_tpu.train.state import TrainState
+        from medmoe_tpu.train.step import build_train_step
+
+        mod = self._module()
+        batch, _ = tiny_batch()
+        params = jax.jit(mod.init_params)(jax.random.PRNGKey(0), batch)
+        state = TrainState.create(params, mod.make_optimizer(
+            gradient_clip_val=0.25))
+        step = build_train_step(mod, mesh=None, donate=False)
+        before = jax.tree_util.tree_map(np.asarray,
+                                        params["text_encoder"]["bert"])
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+        assert np.isfinite(float(metrics["loss"]))
+        after = state.params["text_encoder"]["bert"]
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(before),
+                jax.tree_util.tree_leaves_with_path(after)):
+            assert np.array_equal(np.asarray(a), np.asarray(b)), ka
+        # ...and the trainable towers actually moved
+        img_before = mod.init_params(jax.random.PRNGKey(0), batch)
+        assert not all(
+            np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(
+                jax.tree_util.tree_leaves(img_before["image_encoder"]),
+                jax.tree_util.tree_leaves(state.params["image_encoder"])))
+
+    def test_weight_decay_skips_frozen_params(self):
+        """Latent-bug regression: unmasked add_decayed_weights used to decay
+        the frozen BERT (torch Adam never visits grad-less params)."""
+        import functools
+
+        from medmoe_tpu.train.optim import adam
+        from medmoe_tpu.train.state import TrainState
+        from medmoe_tpu.train.step import build_train_step
+
+        mod = self._module()
+        mod.optimizer_factory = functools.partial(adam, lr=1e-2,
+                                                  weight_decay=0.1)
+        batch, _ = tiny_batch()
+        params = jax.jit(mod.init_params)(jax.random.PRNGKey(0), batch)
+        state = TrainState.create(params, mod.make_optimizer())
+        step = build_train_step(mod, mesh=None, donate=False)
+        before = jax.tree_util.tree_map(np.asarray,
+                                        params["text_encoder"]["bert"])
+        state, _ = step(state, batch, jax.random.PRNGKey(0))
+        for a, b in zip(
+                jax.tree_util.tree_leaves(before),
+                jax.tree_util.tree_leaves(
+                    state.params["text_encoder"]["bert"])):
+            assert np.array_equal(np.asarray(a), np.asarray(b))
+
+    def test_lr_helpers_unwrap_masked_state(self):
+        from medmoe_tpu.train.optim import (get_learning_rate,
+                                            set_learning_rate)
+        from medmoe_tpu.train.state import TrainState
+
+        mod = self._module()
+        batch, _ = tiny_batch()
+        params = jax.jit(mod.init_params)(jax.random.PRNGKey(0), batch)
+        state = TrainState.create(params, mod.make_optimizer())
+        assert get_learning_rate(state.opt_state) == pytest.approx(5e-5)
+        new = set_learning_rate(state.opt_state, 5e-6)
+        assert get_learning_rate(new) == pytest.approx(5e-6)
+
+    def test_classification_probe_masks_encoder(self):
+        import optax
+
+        from medmoe_tpu.train.classification import ClassificationModule
+        from medmoe_tpu.train.state import TrainState
+
+        mod = ClassificationModule(vision=tiny_vision(), num_classes=3,
+                                   freeze_encoder=True)
+        batch, _ = tiny_batch()
+        batch = dict(batch, label=np.arange(batch["image"].shape[0]) % 3)
+        params = jax.jit(mod.init_params)(jax.random.PRNGKey(0), batch)
+        state = TrainState.create(params, mod.make_optimizer())
+        assert isinstance(state.opt_state, optax.MaskedState)
+        moment_leaves = [
+            x for x in jax.tree_util.tree_leaves(state.opt_state)
+            if hasattr(x, "shape") and x.ndim > 0]
+        n_head = sum(x.size for x in jax.tree_util.tree_leaves(
+            params["head"]))
+        assert sum(x.size for x in moment_leaves) == 2 * n_head
