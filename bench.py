@@ -304,7 +304,8 @@ def measure_host_pipeline(cfg, global_batch):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def measure_inference(module, cfg, params, n_chips, batch_size: int = 32):
+def measure_inference(module, cfg, params, n_chips, mesh=None,
+                      batch_size: int = 32):
     """Serving leg: zero-shot image-encode throughput (images/sec/chip).
 
     The deployed protocol (cli/eval_zs.py, eval/zero_shot.py) is: encode
@@ -319,7 +320,6 @@ def measure_inference(module, cfg, params, n_chips, batch_size: int = 32):
     same memory-pressure falloff as the training step; a deployment
     shards arrivals into 32-image waves per chip)."""
     import jax
-    import jax.numpy as jnp
 
     tiny = bool(int(os.environ.get("MEDMOE_BENCH_TINY", "0")))
     b = (8 if tiny else batch_size) * n_chips
@@ -328,16 +328,17 @@ def measure_inference(module, cfg, params, n_chips, batch_size: int = 32):
     images = rng.randn(b, int(vision.image_size), int(vision.image_size),
                        3).astype(np.float32)
 
-    @jax.jit
-    def encode(p, im):
-        g, _, _ = module.model.apply(
-            {"params": p}, im,
-            method=lambda mdl, x: mdl.encode_image(x, deterministic=True))
-        g = g.astype(jnp.float32)
-        return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
-                               1e-12)
+    from medmoe_tpu.eval.zero_shot import make_image_embedder
 
-    placed = jax.device_put(images)
+    encode = make_image_embedder(module)
+    if mesh is not None:
+        # params are already sharded over the mesh (see _setup); images
+        # must shard over the data axis too or jit rejects the device mix
+        from medmoe_tpu.parallel.sharding import batch_sharding
+
+        placed = jax.device_put(images, batch_sharding(mesh))
+    else:
+        placed = jax.device_put(images)
     out = encode(params, placed)
     float(out[0, 0])                      # value fetch — see measure_compute
     best = float("inf")
@@ -411,7 +412,8 @@ def main() -> None:
     infer = None
     infer_note = None
     try:
-        infer = measure_inference(module, cfg, state.params, n_chips)
+        infer = measure_inference(module, cfg, state.params, n_chips,
+                                  mesh=mesh)
     except Exception as exc:
         infer_note = f"inference leg failed: {type(exc).__name__}: {exc}"
 

@@ -18,8 +18,7 @@ _GRAMMAR = """overrides (hydra-compatible):
 """
 
 
-def render_help(entry: str, description: str, examples: List[str],
-                config_name: str = "train") -> str:
+def render_help(entry: str, description: str, examples: List[str]) -> str:
     from medmoe_tpu.config.loader import DEFAULT_CONFIG_DIR
 
     lines = [f"usage: {entry} [override ...]", "", description, "",

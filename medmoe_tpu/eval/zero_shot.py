@@ -38,8 +38,11 @@ def encode_class_prompts(module, params, tokenizer, class_names: Sequence[str],
                               1e-12)
 
 
-def encode_images(module, params, batches: Iterable[Dict[str, np.ndarray]]):
-    """Yields ([B, D] normalized global image embeddings, labels [B, ...])."""
+def make_image_embedder(module):
+    """Jitted ``encode_image`` + L2-norm — the single serving/eval/bench
+    hot path (``(params, images) -> [B, D]`` unit-norm f32 embeddings).
+    eval, bench.py's infer leg, and cli/serve.py all call this one
+    function so the deployed math cannot diverge between surfaces."""
 
     @jax.jit
     def encode(p, images):
@@ -50,6 +53,12 @@ def encode_images(module, params, batches: Iterable[Dict[str, np.ndarray]]):
         return g / jnp.maximum(jnp.linalg.norm(g, axis=-1, keepdims=True),
                                1e-12)
 
+    return encode
+
+
+def encode_images(module, params, batches: Iterable[Dict[str, np.ndarray]]):
+    """Yields ([B, D] normalized global image embeddings, labels [B, ...])."""
+    encode = make_image_embedder(module)
     for batch in batches:
         yield encode(params, batch["image"]), batch.get("label")
 
@@ -160,10 +169,16 @@ def image_text_retrieval(module, params,
     return out
 
 
-def load_for_eval(cfg, module=None, datamodule=None, tokenizer=None):
+def load_for_eval(cfg, module=None, datamodule=None, tokenizer=None,
+                  synthetic_init: bool = False):
     """(module, datamodule, tokenizer, params) for an eval/serving surface:
     instantiate from config, init params from one batch, then apply
-    medclip_ckpt conversion and/or an orbax ckpt_path restore."""
+    medclip_ckpt conversion and/or an orbax ckpt_path restore.
+
+    ``synthetic_init=True`` builds the shape-init batch from config shapes
+    instead of pulling one from ``test_dataloader()`` — a serving host with
+    only a checkpoint (no eval dataset on disk) must not need CheXpert CSVs
+    just to initialize parameter shapes before the orbax restore."""
     from medmoe_tpu.utils import instantiate
     from medmoe_tpu.utils.checkpoint import load_params
 
@@ -173,7 +188,12 @@ def load_for_eval(cfg, module=None, datamodule=None, tokenizer=None):
     module.text_cfg["vocab_size"] = max(
         int(module.text_cfg.get("vocab_size", 0)), tokenizer.vocab_size)
 
-    init_batch = next(iter(datamodule.test_dataloader()))
+    if synthetic_init:
+        size = int(cfg.model.model.vision.image_size)
+        init_batch = {"image": np.zeros((1, size, size, 3), np.float32),
+                      "label": np.zeros((1,), np.int32)}
+    else:
+        init_batch = next(iter(datamodule.test_dataloader()))
     if "input_ids" not in init_batch:
         # image-only datasets (CheXpert): synthesize text fields for init
         enc = tokenizer.encode_batch(["init"], max_length=cfg.model.model

@@ -39,7 +39,15 @@ def save_checkpoint(path: str, state: Any,
 
 
 def restore_checkpoint(path: str, state: Any) -> Any:
-    """Restore into the structure of ``state`` (shapes/dtypes validated)."""
+    """Restore into the structure of ``state`` (shapes/dtypes validated).
+
+    Falls back to a params+step-only restore when the saved optimizer
+    state's tree structure no longer matches the live optimizer (e.g. a
+    checkpoint written before frozen-subtree masking — optax.masked drops
+    the frozen params' Adam moments, changing the opt_state pytree). The
+    fallback resumes with FRESH optimizer moments (Adam re-warms within
+    ~100 steps) instead of refusing the checkpoint outright; a warning
+    says so."""
     path = os.path.abspath(path)
     ckpt = _checkpointer()
     target = {"step": state.step, "params": state.params,
@@ -49,7 +57,29 @@ def restore_checkpoint(path: str, state: Any) -> Any:
                                        getattr(x, "dtype", None),
                                        sharding=getattr(x, "sharding", None))
         if hasattr(x, "shape") else x, target)
-    restored = ckpt.restore(path, abstract)
+    try:
+        restored = ckpt.restore(path, abstract)
+    except Exception as exc:
+        from medmoe_tpu.utils.logging import get_logger
+
+        get_logger(__name__).warning(
+            f"full train-state restore failed ({type(exc).__name__}); "
+            f"retrying params+step only — optimizer moments start FRESH "
+            f"(expected for checkpoints saved under a different optimizer "
+            f"structure, e.g. pre-frozen-masking): {exc}")
+        params = load_params(path, state.params)
+        # re-place on the live params' shardings (mesh runs restore into
+        # sharded state; load_params lands on the default device)
+        params = jax.tree_util.tree_map(
+            lambda t, p: jax.device_put(p, t.sharding)
+            if getattr(t, "sharding", None) is not None else p,
+            state.params, params)
+        import orbax.checkpoint as ocp
+
+        raw = ocp.PyTreeCheckpointer().restore(path)
+        step = int(raw.get("step", state.step))
+        return state.replace(step=jax.numpy.asarray(
+            step, dtype=getattr(state.step, "dtype", None)), params=params)
     return state.replace(step=restored["step"], params=restored["params"],
                          opt_state=restored["opt_state"])
 

@@ -3,6 +3,7 @@ dataset-fraction behavior), frozen soft-label tool BERT, scheduler
 checkpoint state."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -326,6 +327,35 @@ class TestFrozenParamMasking:
         assert get_learning_rate(state.opt_state) == pytest.approx(5e-5)
         new = set_learning_rate(state.opt_state, 5e-6)
         assert get_learning_rate(new) == pytest.approx(5e-6)
+
+    def test_legacy_unmasked_checkpoint_restores_params(self, tmp_path):
+        """A checkpoint saved BEFORE frozen-subtree masking (full Adam
+        moments for every param) still restores: params+step come back
+        exactly, optimizer moments start fresh (documented fallback in
+        restore_checkpoint)."""
+        from medmoe_tpu.train.optim import adam
+        from medmoe_tpu.train.state import TrainState
+        from medmoe_tpu.utils.checkpoint import (restore_checkpoint,
+                                                 save_checkpoint)
+
+        mod = self._module()
+        batch, _ = tiny_batch()
+        params = jax.jit(mod.init_params)(jax.random.PRNGKey(0), batch)
+        # legacy state: unmasked optimizer (pre-masking structure)
+        legacy = TrainState.create(params, adam(lr=5e-5))
+        legacy = legacy.replace(step=jnp.asarray(7, legacy.step.dtype)) \
+            if hasattr(legacy.step, "dtype") else legacy.replace(step=7)
+        save_checkpoint(str(tmp_path / "ckpt"), legacy)
+
+        # live state: masked optimizer (current structure)
+        fresh = TrainState.create(
+            jax.tree_util.tree_map(jnp.zeros_like, params),
+            mod.make_optimizer())
+        restored = restore_checkpoint(str(tmp_path / "ckpt"), fresh)
+        assert int(restored.step) == 7
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(restored.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_classification_probe_masks_encoder(self):
         import optax

@@ -269,6 +269,57 @@ class TestServeCLI:
 
         assert abs(np.linalg.norm(embs[0]) - 1.0) < 1e-4
 
+    def test_invalid_mode_fails_fast(self, tmp_path):
+        import pytest
+
+        from medmoe_tpu.cli.serve import main
+
+        with pytest.raises(SystemExit, match="serve.mode"):
+            main(self.TINY_EVAL + ["serve.input=-",
+                                   "serve.mode=classifiy",   # typo
+                                   f"paths.root_dir={tmp_path}"])
+
+    def test_no_eval_dataset_needed(self, tmp_path, capsys):
+        """Serving init is synthetic: a host with only images (no eval
+        dataset on disk) serves fine — data=chexpert points at a
+        nonexistent dir and is never read."""
+        import json as _json
+
+        from medmoe_tpu.cli.serve import main
+
+        img_dir = self._write_images(tmp_path, n=2)
+        rc = main([o for o in self.TINY_EVAL
+                   if not o.startswith(("data=", "data."))] + [
+            "data=chexpert", f"data.data_dir={tmp_path}/nonexistent",
+            "serve.batch_size=4", "serve.mode=embed",
+            f"serve.input={img_dir}", f"paths.root_dir={tmp_path}"])
+        assert rc == 0
+        recs = [_json.loads(l) for l in capsys.readouterr().out.splitlines()
+                if l.startswith("{")]
+        assert len(recs) == 2 and all("embedding" in r for r in recs)
+
+
+class TestConsoleScripts:
+    """pip entry points go through cli/_script.py adapters: setuptools
+    wraps them in sys.exit(fn()), and the raw mains return metrics dicts —
+    sys.exit(<dict>) would exit status 1 on every SUCCESSFUL run."""
+
+    def test_adapters_resolve_and_map_to_status(self):
+        import importlib
+        import tomllib
+
+        from medmoe_tpu.cli import _script
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(root, "pyproject.toml"), "rb") as f:
+            scripts = tomllib.load(f)["project"]["scripts"]
+        for target in scripts.values():
+            mod_name, attr = target.split(":")
+            assert callable(getattr(importlib.import_module(mod_name), attr))
+        assert _script._as_status({"test/loss": 1.0}) == 0
+        assert _script._as_status(None) == 0
+        assert _script._as_status(3) == 3
+
 
 class TestGraftEntry:
     def test_dryrun_multichip(self):
