@@ -17,7 +17,10 @@ src/models/components/swin.py:11-117) for TPU:
     commutes with the expert computation — so the TPU-native default
     (``mode='gather'``) gathers each sample's expert parameters and computes
     only the selected expert: bitwise-equal outputs and gradients at 1/K the
-    FLOPs and memory.
+    FLOPs and memory (exact in f32; in bf16 every mode rounds the same
+    values at the same points — params and biases through dt, f32
+    accumulation — so any residual difference is contraction-order low
+    bits, not a systematic divergence).
 
   Top-k routing (``MoEConfig.top_k``): ``topk_routing`` picks the k
   highest-probability experts per sample and combines their outputs with
@@ -199,6 +202,12 @@ class ExpertBank(nn.Module):
             # so the combine multiply is the identity — skipping it saves a
             # full fwd+bwd pass over the [B, P, E] map (~2.3 ms at B=32)
             return self._gather_one(pyramid, expert_idx[:, 0])
+        if weights is None:
+            # [B, k] indices demand combine weights — an uncaught None
+            # would crash below with a bare TypeError
+            raise ValueError(
+                f"apply_gathered: expert_idx has k={k} slots; pass the "
+                f"[B, k] combine weights from topk_routing")
         out = None
         for j in range(k):                   # k is tiny (1-2); static unroll
             slot = self._gather_one(pyramid, expert_idx[:, j])
@@ -319,6 +328,9 @@ class ExpertBank(nn.Module):
         # stack forced extra full passes + layout copies over a tensor S×
         # the size of any single scale). Each scale keeps its own [K, C, P,
         # E] map; only the [K, C, P, S] attention logits are stacked.
+        # biases round through dt exactly like the gather path's sel()
+        # (and the fused Pallas kernel) — all modes add the SAME values
+        rb = lambda p: p.astype(dt).astype(jnp.float32)  # noqa: E731
         scale_feats = []
         for s, feats in enumerate(pyramid):
             g = jnp.einsum("kcb,bpd->kcpd", dispatch.astype(dt),
@@ -326,17 +338,19 @@ class ExpertBank(nn.Module):
                            preferred_element_type=jnp.float32).astype(dt)
             h = jnp.einsum("kcpd,kde->kcpe", g, self.proj_w[s].astype(dt),
                            preferred_element_type=jnp.float32)
-            h = jax.nn.relu(h + self.proj_b[s][:, None, None, :]).astype(dt)
+            h = jax.nn.relu(h + rb(self.proj_b[s])[:, None, None, :]) \
+                .astype(dt)
             scale_feats.append(interp_patches(h, p_max, axis=2))
 
         logits = []
         for h in scale_feats:                                # [K, C, P, E]
             a = jnp.einsum("kcpe,keh->kcph", h, self.attn_w1.astype(dt),
                            preferred_element_type=jnp.float32)
-            a = jax.nn.relu(a + self.attn_b1[:, None, None, :]).astype(dt)
+            a = jax.nn.relu(a + rb(self.attn_b1)[:, None, None, :]) \
+                .astype(dt)
             l = jnp.einsum("kcph,kho->kcpo", a, self.attn_w2.astype(dt),
                            preferred_element_type=jnp.float32)
-            logits.append(l[..., 0] + self.attn_b2[:, None, None, 0])
+            logits.append(l[..., 0] + rb(self.attn_b2)[:, None, None, 0])
         attn = jax.nn.softmax(jnp.stack(logits, axis=-1), axis=-1) \
             .astype(dt)                                      # [K, C, P, S]
         fused = None
@@ -367,22 +381,27 @@ class ExpertBank(nn.Module):
 
         # per-scale accumulation (no [K, B, P, S, E] stack — see
         # apply_dispatched); only the [K, B, P, S] logits are stacked
+        # biases round through dt exactly like the gather path's sel()
+        # (and the fused Pallas kernel) — all modes add the SAME values
+        rb = lambda p: p.astype(dt).astype(jnp.float32)  # noqa: E731
         scale_feats = []
         for s, feats in enumerate(pyramid):
             h = jnp.einsum("bpd,kde->kbpe", feats.astype(dt),
                            self.proj_w[s].astype(dt),
                            preferred_element_type=jnp.float32)
-            h = jax.nn.relu(h + self.proj_b[s][:, None, None, :]).astype(dt)
+            h = jax.nn.relu(h + rb(self.proj_b[s])[:, None, None, :]) \
+                .astype(dt)
             scale_feats.append(interp_patches(h, p_max, axis=2))
 
         logits = []
         for h in scale_feats:                                # [K, B, P, E]
             a = jnp.einsum("kbpe,keh->kbph", h, self.attn_w1.astype(dt),
                            preferred_element_type=jnp.float32)
-            a = jax.nn.relu(a + self.attn_b1[:, None, None, :]).astype(dt)
+            a = jax.nn.relu(a + rb(self.attn_b1)[:, None, None, :]) \
+                .astype(dt)
             l = jnp.einsum("kbph,kho->kbpo", a, self.attn_w2.astype(dt),
                            preferred_element_type=jnp.float32)
-            logits.append(l[..., 0] + self.attn_b2[:, None, None, 0])
+            logits.append(l[..., 0] + rb(self.attn_b2)[:, None, None, 0])
         attn = jax.nn.softmax(jnp.stack(logits, axis=-1), axis=-1) \
             .astype(dt)                                      # [K, B, P, S]
         fused = None
@@ -390,7 +409,8 @@ class ExpertBank(nn.Module):
             term = (h.astype(jnp.float32)
                     * attn[..., s, None].astype(jnp.float32))
             fused = term if fused is None else fused + term  # [K, B, P, E]
-        fused = fused.astype(dt)
+        # fused stays f32 (as in gather/dispatched — rounding it to dt here
+        # was the one mode-specific cast left)
         # combine contraction over k (psum over the 'expert' axis if sharded)
         return jnp.einsum("bk,kbpe->bpe", combine, fused,
                           preferred_element_type=jnp.float32)

@@ -97,19 +97,27 @@ def cosine_similarity(x1: jnp.ndarray, x2: jnp.ndarray, axis: int,
 
 
 def auto_text_chunk(b: int, m: int, t: int,
-                    budget_bytes: int = 2 << 30) -> Optional[int]:
+                    budget_bytes: int = 2 << 30,
+                    n_texts: Optional[int] = None) -> Optional[int]:
     """Largest caption-block size whose rematerialized backward stays under
-    a peak-activation budget — None when the WHOLE batch fits, so small
-    batches skip the lax.map chunk loop entirely (the loop serializes its
+    a peak-activation budget — None when ALL texts fit, so small batches
+    skip the lax.map chunk loop entirely (the loop serializes its
     iterations on device; at B=32 the unchunked peak is ~0.3 GB and the
     loop was pure overhead, ~15% of the train step on v5e). At B=256 this
-    resolves to 8, the hand-tuned round-1 value."""
+    resolves to 8, the hand-tuned round-1 value.
+
+    ``b`` is the IMAGE count (peak memory scales with the [c, B_img, M, T]
+    block); ``n_texts`` is the chunked axis' length when it differs —
+    rectangular under shard_map, where per-shard images see the replicated
+    global text batch. The whole-batch early exit and the divisibility
+    search both run against the TEXT count."""
+    n_texts = b if n_texts is None else n_texts
     per_text = b * m * t * 4 * 3     # scores+attn+cotangents resident in vjp
     chunk = max(1, int(budget_bytes // per_text))
-    if chunk >= b:
+    if chunk >= n_texts:
         return None
     for c in range(chunk, 0, -1):
-        if b % c == 0:
+        if n_texts % c == 0:
             return c
     return 1
 

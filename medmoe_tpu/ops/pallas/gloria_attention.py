@@ -77,57 +77,17 @@ def _sim_kernel(cap_ref, ctx_ref, words_ref, out_ref, *, temp1: float,
     (L = txt_block·t_pad lanes), so every matmul and VPU op runs at full
     lane width. The per-text softmax over words becomes a SEGMENTED
     softmax over t_pad-lane groups: max via the roll-butterfly, sums via
-    one matmul with a block-diagonal ones matrix (exact, MXU)."""
-    ctx = ctx_ref[0]                          # [D, M] bf16, image-resident
-    w_blk = words_ref[0]                      # [D, L] bf16
+    one matmul with a block-diagonal ones matrix (exact, MXU).
+
+    The forward chain is ``_cell_recompute`` — the SAME function the
+    backward kernels re-derive, so the custom-vjp differentiates exactly
+    what the forward evaluated (one body, not two copies to keep in
+    sync); only the log/pick/accumulate tail is forward-specific."""
     tj = pl.program_id(1)
     l_total = txt_block * t_pad
-
-    scores = jax.lax.dot_general(             # [M, L] f32
-        ctx, w_blk, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    lane = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    lane_in_seg = lane % t_pad
-    caps = jnp.zeros_like(lane)
-    for j in range(txt_block):                # 8 scalar selects
-        caps = jnp.where(lane // t_pad == j,
-                         cap_ref[tj * txt_block + j], caps)
-    valid = lane_in_seg < caps
-    scores = jnp.where(valid, scores, NEG_INF)
-
-    # softmax over each text's words (lane segments)
-    e = jnp.exp(scores - _segment_max(scores, t_pad))     # invalid → 0
-    seg_r = jax.lax.broadcasted_iota(jnp.int32, (l_total, l_total), 0) \
-        // t_pad
-    seg_c = jax.lax.broadcasted_iota(jnp.int32, (l_total, l_total), 1) \
-        // t_pad
-    seg_ones = (seg_r == seg_c).astype(jnp.float32)       # block-diag
-    segsum = jax.lax.dot_general(                         # [M, L]
-        e, seg_ones, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    a1 = e / segsum                           # max lane has e=1 → segsum ≥ 1
-
-    # softmax over regions (full sublane column — no segmentation)
-    a2 = jax.nn.softmax(a1 * temp1, axis=0)
-
-    wei = jax.lax.dot_general(                            # [D, L] f32
-        ctx.astype(jnp.float32), a2,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-
-    w32 = w_blk.astype(jnp.float32)
-    num = jnp.sum(w32 * wei, axis=0, keepdims=True)       # [1, L]
-    den = jnp.sqrt(jnp.sum(w32 * w32, axis=0, keepdims=True)) \
-        * jnp.sqrt(jnp.sum(wei * wei, axis=0, keepdims=True))
-    cos = num / jnp.maximum(den, 1e-8)
-
-    valid1 = lane_in_seg[:1] < caps[:1]                   # [1, L]
-    row = jnp.where(valid1, jnp.exp(cos * temp2), 0.0)
-    rowsum = jax.lax.dot_general(                         # [1, L] seg sums
-        row, seg_ones, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    sims = jnp.log(rowsum) * temp3                        # [1, L]
+    cell = _cell_recompute(ctx_ref, words_ref, cap_ref, tj, temp1=temp1,
+                           temp2=temp2, txt_block=txt_block, t_pad=t_pad)
+    sims = jnp.log(cell["rowsum"]) * temp3                # [1, L]
 
     # gather lane j·t_pad of each segment into out lane tj·txt_block+j
     # with one [L, B] indicator matmul (no scalar extraction)
@@ -560,13 +520,10 @@ def _bwd(temp1, temp2, temp3, residuals, g):
     # memory-adaptive remat: no chunk loop at all when the whole batch's
     # backward fits (B≤64 on v5e) — the lax.map loop serializes on device.
     # Peak memory scales with the IMAGE count (the [c, B_img, M, T] block);
-    # the chunk must divide the TEXT count (rectangular under shard_map).
-    chunk = auto_text_chunk(b, h * w, words_emb.shape[-1])
-    if chunk is not None and b_txt != b:
-        chunk = next((c for c in range(min(chunk, b_txt), 0, -1)
-                      if b_txt % c == 0), 1)
-        if chunk >= b_txt:
-            chunk = None
+    # the chunk sizes/divides the TEXT count (rectangular under shard_map:
+    # per-shard images × replicated global texts — n_texts keeps the
+    # whole-batch early exit honest there).
+    chunk = auto_text_chunk(b, h * w, words_emb.shape[-1], n_texts=b_txt)
     _, vjp = jax.vjp(
         lambda im, wo: _sim_xla(im, wo, cap_lens, temp1, temp2, temp3,
                                 text_chunk=chunk),

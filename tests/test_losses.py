@@ -294,3 +294,23 @@ class TestRouterLoss:
         probs = jnp.asarray([[0.9, 0.1], [0.2, 0.8], [0.6, 0.4]])
         labels = jnp.asarray([0, 1, 1])
         assert abs(float(L.router_accuracy(probs, labels)) - 2 / 3) < 1e-6
+
+
+class TestAutoTextChunk:
+    def test_square_whole_batch_fits(self):
+        # B=32 square: unchunked backward peak ~0.3 GB — no chunk loop
+        assert L.auto_text_chunk(32, 361, 97) is None
+
+    def test_rectangular_does_not_skip_chunking(self):
+        """Regression: under shard_map the per-shard backward sees 32
+        images x 256 replicated texts; the whole-batch early exit used to
+        compare the budgeted chunk (~159) against the IMAGE count (32) and
+        return None — an unchunked [256, 32, M, T] residual ~n_devices x
+        the budget."""
+        chunk = L.auto_text_chunk(32, 361, 97, n_texts=256)
+        assert chunk is not None and chunk < 256 and 256 % chunk == 0
+        # peak residual for the chosen chunk stays within the 2 GiB budget
+        assert chunk * 32 * 361 * 97 * 12 <= (2 << 30)
+
+    def test_rectangular_small_text_batch_still_skips(self):
+        assert L.auto_text_chunk(32, 361, 97, n_texts=8) is None

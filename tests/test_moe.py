@@ -63,6 +63,66 @@ class TestModeEquivalence:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-5, atol=1e-5)
 
+    def test_bf16_bias_rounding_uniform_across_modes(self):
+        """Every mode adds bf16-rounded biases (the gather path's sel()
+        semantics, matched by the fused Pallas kernel): with NONZERO f32
+        biases in bf16 compute, dense/topk outputs are invariant to
+        pre-rounding the biases to bf16, and gather ≡ dense ≡ topk up to
+        contraction-order low bits (regression: dense/dispatched used to
+        add raw f32 biases — a systematic divergence from gather)."""
+        rng = np.random.RandomState(7)
+        pyr = _pyramid(rng, b=4)
+        router_feat = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+        cfg = MoEConfig(num_experts=3, hidden_dims=(4, 8), output_dim=8,
+                        router_input_dim=8, mode="gather",
+                        capacity_factor=3.0, dtype=jnp.bfloat16)
+        moe = MoE(cfg)
+        variables = moe.init(jax.random.PRNGKey(0), pyr, router_feat)
+
+        def with_biases(v, round_bf16=False):
+            bank = dict(v["params"]["experts"])
+            r = np.random.RandomState(11)
+            for name, leaf in list(bank.items()):
+                if name.startswith(("proj_b", "attn_b")):
+                    noise = jnp.asarray(
+                        r.randn(*leaf.shape).astype(np.float32))
+                    if round_bf16:
+                        noise = noise.astype(jnp.bfloat16) \
+                            .astype(jnp.float32)
+                    bank[name] = noise
+            return {"params": {**v["params"], "experts": bank}}
+
+        v_raw = with_biases(variables)
+        v_pre = with_biases(variables, round_bf16=True)
+        outs = {}
+        for mode in ("gather", "dense", "topk"):
+            m = MoE(cfg.replace(mode=mode))
+            outs[mode] = m.apply(v_raw, pyr, router_feat)
+            # rounding happens INSIDE the module: pre-rounded biases give
+            # bit-identical outputs
+            pre = m.apply(v_pre, pyr, router_feat)
+            for a, b in zip(outs[mode][:2], pre[:2]):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        for mode in ("dense", "topk"):
+            for a, b in zip(outs["gather"][:2], outs[mode][:2]):
+                np.testing.assert_allclose(
+                    np.asarray(a, np.float32), np.asarray(b, np.float32),
+                    rtol=2e-2, atol=2e-2)
+
+    def test_apply_gathered_topk_requires_weights(self):
+        rng = np.random.RandomState(5)
+        pyr = _pyramid(rng, b=4)
+        router_feat = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+        cfg = MoEConfig(num_experts=3, hidden_dims=(4, 8), output_dim=8,
+                        router_input_dim=8, dtype=jnp.float32)
+        variables = MoE(cfg).init(jax.random.PRNGKey(0), pyr, router_feat)
+        bank_params = {"params": variables["params"]["experts"]}
+        idx2 = jnp.zeros((4, 2), jnp.int32)
+        with pytest.raises(ValueError, match="combine weights"):
+            ExpertBank(cfg).apply(
+                bank_params, pyr, idx2,
+                method=lambda mdl, p, i: mdl.apply_gathered(p, i))
+
     @pytest.mark.slow
     def test_gradients_match(self):
         rng = np.random.RandomState(1)
