@@ -43,6 +43,51 @@ def _load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
             if hasattr(v, "detach")}
 
 
+#: torch state-dict entries that carry no learnable weights — static buffers
+#: our modules recompute at trace time (swin.py:_relative_position_index,
+#: bert.py position iota) and HF-version-dependent registered buffers.
+#: Everything else in a checkpoint MUST be consumed by the conversion.
+IGNORABLE_KEY_SUFFIXES = (
+    ".relative_position_index",      # Swin static index buffer
+    ".position_ids",                 # BERT arange buffer (older HF versions)
+    "embeddings.mask_token",         # Swin MIM token (use_mask_token only)
+)
+
+
+class TrackedStateDict(dict):
+    """State dict that records which keys the conversion actually read, so
+    callers can assert no checkpoint weight was silently dropped (the
+    reference loads with strict=False, med_moe.py:44 — we keep that
+    behavior for MISSING keys but surface UNCONSUMED ones)."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed = set()
+
+    def __getitem__(self, key):
+        self.consumed.add(key)
+        return super().__getitem__(key)
+
+    def unconsumed(self):
+        return sorted(
+            k for k in self
+            if k not in self.consumed
+            and not any(k.endswith(s) or k == s.lstrip(".")
+                        for s in IGNORABLE_KEY_SUFFIXES))
+
+
+def _check_coverage(sd: "TrackedStateDict", what: str,
+                    strict: bool) -> None:
+    leftover = sd.unconsumed()
+    if not leftover:
+        return
+    msg = (f"convert: {len(leftover)} {what} checkpoint keys were NOT "
+           f"consumed by the remap (first 10): {leftover[:10]}")
+    if strict:
+        raise ValueError(msg)
+    log.warning(msg)
+
+
 def _linear(sd, prefix):
     out = {"kernel": sd[f"{prefix}.weight"].T}
     if f"{prefix}.bias" in sd:
@@ -158,13 +203,16 @@ def _merge_into(params: Dict[str, Any], new: Dict[str, Any],
 
 
 def load_medclip_checkpoint(params: Dict[str, Any], checkpoint_path: str,
-                            depths=(2, 2, 6, 2), num_layers: int = 12
-                            ) -> Dict[str, Any]:
+                            depths=(2, 2, 6, 2), num_layers: int = 12,
+                            strict: bool = False) -> Dict[str, Any]:
     """Load a MedCLIP pytorch_model.bin into a full MedMoE params tree
     (reference med_moe.py:40-62 key remapping: vision_model./text_model.).
 
     Returns a NEW params tree; missing/unmatched keys keep their init
-    (strict=False semantics, like the reference)."""
+    (strict=False semantics, like the reference). Checkpoint keys the remap
+    did NOT consume (beyond known non-weight buffers) are logged — or raise
+    with ``strict=True`` — so a layout drift between the checkpoint and the
+    converter can't silently drop weights."""
     import jax
 
     if not (checkpoint_path and os.path.isfile(checkpoint_path)):
@@ -173,10 +221,12 @@ def load_medclip_checkpoint(params: Dict[str, Any], checkpoint_path: str,
         return params
     sd = _load_torch_state_dict(checkpoint_path)
 
-    vision_sd = {k[len("vision_model."):]: v for k, v in sd.items()
-                 if k.startswith("vision_model.")}
-    text_sd = {k[len("text_model."):]: v for k, v in sd.items()
-               if k.startswith("text_model.")}
+    vision_sd = TrackedStateDict(
+        {k[len("vision_model."):]: v for k, v in sd.items()
+         if k.startswith("vision_model.")})
+    text_sd = TrackedStateDict(
+        {k[len("text_model."):]: v for k, v in sd.items()
+         if k.startswith("text_model.")})
 
     params = jax.tree_util.tree_map(np.asarray, params)
     n = 0
@@ -185,11 +235,13 @@ def load_medclip_checkpoint(params: Dict[str, Any], checkpoint_path: str,
                        .get("swin"))
         if swin_params is not None:
             n += _merge_into(swin_params, convert_hf_swin(vision_sd, depths))
+            _check_coverage(vision_sd, "vision_model", strict)
     if text_sd:
         bert_params = params.get("text_encoder", {}).get("bert")
         if bert_params is not None:
             n += _merge_into(bert_params,
                              convert_hf_bert(text_sd, num_layers))
+            _check_coverage(text_sd, "text_model", strict)
     log.info(f"loaded {n} arrays from {checkpoint_path}")
     return params
 
@@ -197,23 +249,25 @@ def load_medclip_checkpoint(params: Dict[str, Any], checkpoint_path: str,
 def load_hf_pretrained(params: Dict[str, Any],
                        swin_path: Optional[str] = None,
                        bert_path: Optional[str] = None,
-                       depths=(2, 2, 6, 2), num_layers: int = 12
-                       ) -> Dict[str, Any]:
+                       depths=(2, 2, 6, 2), num_layers: int = 12,
+                       strict: bool = False) -> Dict[str, Any]:
     """Load plain HF pytorch_model.bin files (Swin and/or BERT)."""
     import jax
 
     params = jax.tree_util.tree_map(np.asarray, params)
     if swin_path and os.path.isfile(swin_path):
-        sd = _load_torch_state_dict(swin_path)
+        sd = TrackedStateDict(_load_torch_state_dict(swin_path))
         target = (params.get("image_encoder", {}).get("swin_moe", {})
                   .get("swin"))
         if target is not None:
             n = _merge_into(target, convert_hf_swin(sd, depths))
+            _check_coverage(sd, "swin", strict)
             log.info(f"loaded {n} swin arrays from {swin_path}")
     if bert_path and os.path.isfile(bert_path):
-        sd = _load_torch_state_dict(bert_path)
+        sd = TrackedStateDict(_load_torch_state_dict(bert_path))
         target = params.get("text_encoder", {}).get("bert")
         if target is not None:
             n = _merge_into(target, convert_hf_bert(sd, num_layers))
+            _check_coverage(sd, "bert", strict)
             log.info(f"loaded {n} bert arrays from {bert_path}")
     return params

@@ -59,24 +59,52 @@ def restore_checkpoint(path: str, state: Any) -> Any:
         if hasattr(x, "shape") else x, target)
     try:
         restored = ckpt.restore(path, abstract)
-    except Exception as exc:
+    except ValueError as exc:
+        # Only tree-STRUCTURE mismatches downgrade (orbax raises ValueError
+        # for "restore item and on-disk metadata tree structures do not
+        # match"). I/O errors / partial writes / OOM re-raise below: silently
+        # resuming with fresh optimizer moments after a transient error would
+        # leave multi-host processes with divergent opt_states.
+        import orbax.checkpoint as ocp
+
         from medmoe_tpu.utils.logging import get_logger
 
+        # Single raw read serves the structure check, params, and step
+        # (the legacy unmasked opt_state is ~3x params bytes — read once).
+        raw = ocp.PyTreeCheckpointer().restore(path)
+        saved_opt = len(jax.tree_util.tree_leaves(raw.get("opt_state")))
+        live_opt = len(jax.tree_util.tree_leaves(state.opt_state))
+        if saved_opt == live_opt:
+            # Not the documented legacy-structure case — do not downgrade.
+            raise exc
         get_logger(__name__).warning(
-            f"full train-state restore failed ({type(exc).__name__}); "
-            f"retrying params+step only — optimizer moments start FRESH "
+            f"full train-state restore failed (saved opt_state has "
+            f"{saved_opt} leaves, live optimizer expects {live_opt}); "
+            f"restoring params+step only — optimizer moments start FRESH "
             f"(expected for checkpoints saved under a different optimizer "
             f"structure, e.g. pre-frozen-masking): {exc}")
-        params = load_params(path, state.params)
+
+        saved_params = raw.get("params", raw)
+
+        def _cast(keypath, t, p):
+            want = tuple(getattr(t, "shape", ()))
+            have = tuple(getattr(p, "shape", ()))
+            if want != have:
+                raise ValueError(
+                    f"checkpoint param shape mismatch at "
+                    f"params{jax.tree_util.keystr(keypath)}: checkpoint "
+                    f"{have} vs model {want} — wrong checkpoint for this "
+                    f"model configuration")
+            return jax.numpy.asarray(p, getattr(t, "dtype", None))
+
+        params = jax.tree_util.tree_map_with_path(_cast, state.params,
+                                                  saved_params)
         # re-place on the live params' shardings (mesh runs restore into
-        # sharded state; load_params lands on the default device)
+        # sharded state; the raw restore lands on the default device)
         params = jax.tree_util.tree_map(
             lambda t, p: jax.device_put(p, t.sharding)
             if getattr(t, "sharding", None) is not None else p,
             state.params, params)
-        import orbax.checkpoint as ocp
-
-        raw = ocp.PyTreeCheckpointer().restore(path)
         step = int(raw.get("step", state.step))
         return state.replace(step=jax.numpy.asarray(
             step, dtype=getattr(state.step, "dtype", None)), params=params)

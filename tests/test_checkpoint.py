@@ -1,0 +1,78 @@
+"""Checkpoint restore fallback semantics (ADVICE round-3 findings).
+
+The params+step-only fallback in ``restore_checkpoint`` must engage ONLY
+for the documented legacy case (saved opt_state tree structure differs from
+the live optimizer, e.g. a pre-frozen-masking checkpoint) — any other
+failure re-raises. Silently downgrading to fresh optimizer moments after a
+transient I/O error would leave multi-host processes with divergent
+opt_states (reference analogue: Lightning refuses mismatched checkpoints
+outright; we accept exactly the one structure migration we document).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from medmoe_tpu.train.state import TrainState
+from medmoe_tpu.utils.checkpoint import restore_checkpoint, save_checkpoint
+
+
+def _params(shape_a=(3, 2)):
+    return {"enc": {"w": jnp.arange(np.prod(shape_a), dtype=jnp.float32)
+                    .reshape(shape_a)},
+            "head": {"b": jnp.ones((4,), jnp.float32)}}
+
+
+def _masked_tx():
+    return optax.masked(optax.adam(1e-3),
+                        {"enc": {"w": True}, "head": {"b": False}})
+
+
+class TestRestoreFallback:
+    def test_legacy_structure_mismatch_restores_params_and_step(self, tmp_path):
+        legacy = TrainState.create(_params(), optax.adam(1e-3))
+        legacy = legacy.replace(step=jnp.asarray(11, jnp.int32))
+        save_checkpoint(str(tmp_path / "ckpt"), legacy)
+
+        live = TrainState.create(
+            jax.tree_util.tree_map(jnp.zeros_like, _params()), _masked_tx())
+        restored = restore_checkpoint(str(tmp_path / "ckpt"), live)
+        assert int(restored.step) == 11
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["enc"]["w"]),
+            np.asarray(_params()["enc"]["w"]))
+
+    def test_same_structure_failure_reraises(self, tmp_path):
+        """A restore failure that is NOT the legacy opt-structure case
+        (here: params saved under a different tree layout, optimizer leaf
+        count unchanged) must re-raise, not silently downgrade."""
+        saved = TrainState.create(
+            {"enc": {"w_old_name": jnp.ones((3, 2))},
+             "head": {"b": jnp.ones((4,))}},
+            optax.masked(optax.adam(1e-3),
+                         {"enc": {"w_old_name": True}, "head": {"b": False}}))
+        save_checkpoint(str(tmp_path / "ckpt"), saved)
+
+        live = TrainState.create(_params(), _masked_tx())
+        with pytest.raises(ValueError):
+            restore_checkpoint(str(tmp_path / "ckpt"), live)
+        # and the error is the orbax structure error, not a downgraded state:
+        # restore_checkpoint returning would have been the bug
+
+    def test_fallback_shape_mismatch_names_the_leaf(self, tmp_path):
+        """When the legacy fallback engages but a saved param's SHAPE
+        disagrees with the live model, the error names the leaf instead of
+        surfacing later as an opaque jit shape error."""
+        legacy = TrainState.create(_params(shape_a=(5, 2)), optax.adam(1e-3))
+        save_checkpoint(str(tmp_path / "ckpt"), legacy)
+
+        live = TrainState.create(_params(shape_a=(3, 2)), _masked_tx())
+        with pytest.raises(ValueError, match=r"enc.*w.*\(5, 2\)"):
+            restore_checkpoint(str(tmp_path / "ckpt"), live)
+
+    def test_missing_checkpoint_reraises(self, tmp_path):
+        live = TrainState.create(_params(), _masked_tx())
+        with pytest.raises(Exception):
+            restore_checkpoint(str(tmp_path / "nonexistent"), live)
