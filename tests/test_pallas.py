@@ -143,3 +143,47 @@ class TestGloriaSimilarityKernel:
         np.testing.assert_allclose(
             float(out_p.loss0 + out_p.loss1),
             float(out_x.loss0 + out_x.loss1), rtol=5e-3)
+
+
+class TestRectangularShardMap:
+    """The multi-chip regime the kernel exists for (VERDICT round-3
+    directive #4): per-shard images × replicated GLOBAL texts
+    (B_img sharded over 'data', B_txt = full global batch) through the
+    ambient-SPMD shard_map wrapper on the 8-device CPU mesh."""
+
+    @pytest.mark.slow
+    def test_rectangular_mesh_matches_single_device_kernel(self):
+        from medmoe_tpu.ops.pallas.gloria_attention import (
+            _sim_xla, gloria_similarity_pallas)
+        from medmoe_tpu.parallel.mesh import make_mesh
+        from medmoe_tpu.parallel.spmd import spmd_context
+
+        rng = np.random.RandomState(1)
+        b_img, b_txt, d, h, w, t = 8, 16, 32, 4, 4, 9
+        img = jnp.asarray(rng.randn(b_img, d, h, w).astype(np.float32))
+        words = jnp.asarray(rng.randn(b_txt, d, t).astype(np.float32))
+        cap = jnp.asarray(rng.randint(2, t + 1, size=b_txt).astype(np.int32))
+        # non-trivial cotangents so the text psum across shards is load-bearing
+        wgt = jnp.asarray(rng.randn(b_img, b_txt).astype(np.float32))
+        mesh = make_mesh(data=4, expert=2)
+
+        def weighted(i, w_):
+            return jnp.sum(wgt * gloria_similarity_pallas(i, w_, cap))
+
+        with pltpu.force_tpu_interpret_mode():
+            # sharded: each of the 4 data shards computes its [2, 16] rows
+            with spmd_context(mesh):
+                val_mesh = weighted(img, words)
+                g_mesh = jax.grad(weighted, argnums=(0, 1))(img, words)
+            # same kernel, no mesh: shard_map must be a layout change only
+            val_one = weighted(img, words)
+            g_one = jax.grad(weighted, argnums=(0, 1))(img, words)
+
+        np.testing.assert_allclose(float(val_mesh), float(val_one),
+                                   rtol=1e-5)
+        for a, b in zip(g_mesh, g_one):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+        # sanity vs the f32 XLA oracle (bf16 kernel inputs → loose)
+        ref = float(jnp.sum(wgt * _sim_xla(img, words, cap, 4.0, 5.0, 10.0)))
+        np.testing.assert_allclose(float(val_mesh), ref, rtol=5e-3)
