@@ -13,6 +13,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import numpy as np
 
 
 def _checkpointer():
@@ -108,6 +109,19 @@ def restore_checkpoint(path: str, state: Any) -> Any:
         step = int(raw.get("step", state.step))
         return state.replace(step=jax.numpy.asarray(
             step, dtype=getattr(state.step, "dtype", None)), params=params)
+    # Mesh-sharded leaves (params, optimizer moments) restore onto their
+    # NamedShardings via the abstract target. Everything else (the step
+    # counter, injected-hyperparam scalars) restores COMMITTED to device 0 —
+    # next to mesh-sharded params that's a jit device-mismatch error
+    # ("incompatible devices ... device ids [0] ... and [0..7]"), so those
+    # leaves go back to host arrays, which jit is free to co-locate.
+    def _unpin(t, r):
+        if isinstance(getattr(t, "sharding", None),
+                      jax.sharding.NamedSharding):
+            return r
+        return np.asarray(r) if hasattr(r, "shape") else r
+
+    restored = jax.tree_util.tree_map(_unpin, target, restored)
     return state.replace(step=restored["step"], params=restored["params"],
                          opt_state=restored["opt_state"])
 
