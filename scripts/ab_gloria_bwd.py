@@ -31,6 +31,10 @@ def run_arm(bwd: str, steps: int, batch: int) -> list:
     os.environ["MEDMOE_GLORIA_BWD"] = bwd
     import jax
 
+    from medmoe_tpu.utils.task import enable_compile_cache
+
+    enable_compile_cache()
+
     from __graft_entry__ import _flagship_module, _synthetic_batch
     from medmoe_tpu.train.state import TrainState
     from medmoe_tpu.train.step import build_train_step
