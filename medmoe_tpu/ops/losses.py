@@ -307,7 +307,12 @@ class GLORIALocalContrastiveLoss:
     in backward, beating the Pallas kernels even after their backward
     became recompute-in-VMEM kernels too (5.67 vs 7.34 ms fwd+bwd isolated
     at B=32, M=361 on v5e — storing residuals beats recomputing them while
-    everything fits).
+    everything fits). Round-4 re-check at the FLAGSHIP local-feature size
+    (M=3136 — the pyramid is upsampled to 56×56, not GLoRIA's 19×19):
+    the full B=32 train step measures 63.28 ms with this XLA path vs
+    67.82 ms with the kernel forced (scripts/bench_step_variants.py
+    predecessor run, docs/PERFORMANCE.md round 4) — the threshold holds at
+    the real shapes, not just the calibration ones.
 
     Large batches (B>64): the fused Pallas similarity kernel
     (medmoe_tpu/ops/pallas/gloria_attention.py — the [M,T] attention never
