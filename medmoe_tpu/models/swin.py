@@ -166,6 +166,12 @@ class WindowAttention(nn.Module):
             attn = attn + mask[None, :, None]
             attn = attn.reshape(nb, self.num_heads, n, n)
 
+        # NOTE: plain jax.nn.softmax on purpose. The bf16-backward-residual
+        # softmax (ops/softmax.py) that wins in the GLoRIA local loss was
+        # measured HERE at 64.72 ms/step vs 62.8 baseline (B=32, v5e,
+        # round 4): the custom_vjp boundary breaks XLA's fusion of the
+        # window-attention backward, costing more than the halved residual
+        # bytes save. Do not retry without new information.
         attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v,
                          preferred_element_type=jnp.float32).astype(self.dtype)

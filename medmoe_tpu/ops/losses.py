@@ -23,6 +23,8 @@ from typing import Any, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from medmoe_tpu.ops.softmax import softmax
+
 NEG_INF = -1e30
 
 
@@ -70,15 +72,18 @@ def attention_fn(words: jnp.ndarray, context: jnp.ndarray, temp1: float,
     Returns (wei_context [Bt, Bi, D, T], attn [Bt, Bi, T, M]).
 
     Double softmax exactly as the reference: first over words T (restricted
-    to valid words), then over regions M scaled by temp1.
+    to valid words), then over regions M scaled by temp1. Both softmaxes
+    store bf16 backward residuals — at the flagship B=32/M=3136 shapes the
+    f32 residuals are 2 × 321 MB re-read several times in backward
+    (medmoe_tpu/ops/softmax.py; MEDMOE_SOFTMAX_RES=f32 for A/B).
     """
     # raw scores s[i, b, m, t] = <context[b,:,m], words[i,:,t]>
     scores = jnp.einsum("bdm,idt->ibmt", context, words,
                         preferred_element_type=jnp.float32)
     if word_mask is not None:
         scores = jnp.where(word_mask[:, None, None, :], scores, NEG_INF)
-    attn = jax.nn.softmax(scores, axis=-1)                 # over words T
-    attn = jax.nn.softmax(attn * temp1, axis=-2)           # over regions M
+    attn = softmax(scores, -1)                             # over words T
+    attn = softmax(attn * temp1, -2)                       # over regions M
     wei_context = jnp.einsum("bdm,ibmt->ibdt", context,
                              attn.astype(context.dtype),
                              preferred_element_type=jnp.float32)

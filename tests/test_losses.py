@@ -53,6 +53,68 @@ def naive_gloria_local(img, words, cap_lens, temp1, temp2, temp3, agg="sum"):
     return _ce_diag(sims) + _ce_diag(sims.T)
 
 
+class TestSoftmaxBf16Residual:
+    """ops/softmax.py softmax_bf16_residual: exact f32 forward, bf16-rounded
+    residual in the vjp only (the attention HBM-traffic optimization used by
+    the GLoRIA local loss and Swin window attention)."""
+
+    def test_forward_bit_identical(self):
+        from medmoe_tpu.ops.softmax import softmax_bf16_residual
+
+        x = jnp.asarray(np.random.RandomState(0)
+                        .randn(4, 7, 9).astype(np.float32)) * 3.0
+        for axis in (-1, -2):
+            got = softmax_bf16_residual(x, axis)
+            exact = jax.nn.softmax(x, axis=axis)
+            assert np.array_equal(np.asarray(got), np.asarray(exact))
+
+    def test_gradient_close_to_exact(self):
+        from medmoe_tpu.ops.softmax import softmax_bf16_residual
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(6, 11).astype(np.float32))
+        w = jnp.asarray(rng.randn(6, 11).astype(np.float32))
+
+        def f(soft):
+            return lambda v: jnp.sum(soft(v) * w)
+
+        g16 = jax.grad(f(lambda v: softmax_bf16_residual(v, -1)))(x)
+        g32 = jax.grad(f(lambda v: jax.nn.softmax(v, axis=-1)))(x)
+        np.testing.assert_allclose(np.asarray(g16), np.asarray(g32),
+                                   rtol=0, atol=2e-2)
+        # bf16 residual rounding must actually differ somewhere (guards
+        # against the custom vjp silently not being used)
+        assert not np.array_equal(np.asarray(g16), np.asarray(g32))
+
+    def test_env_kill_switch(self, monkeypatch):
+        from medmoe_tpu.ops import softmax as S
+
+        x = jnp.asarray(np.random.RandomState(3)
+                        .randn(5, 9).astype(np.float32))
+        monkeypatch.setenv("MEDMOE_SOFTMAX_RES", "f32")
+        g_off = jax.grad(lambda v: jnp.sum(S.softmax(v, -1) ** 2))(x)
+        g_exact = jax.grad(
+            lambda v: jnp.sum(jax.nn.softmax(v, axis=-1) ** 2))(x)
+        assert np.array_equal(np.asarray(g_off), np.asarray(g_exact))
+
+    def test_masked_positions_zero_grad(self):
+        # NEG_INF-masked entries produce exact-zero attention and must keep
+        # exact-zero gradients through the bf16 residual
+        from medmoe_tpu.ops.softmax import softmax_bf16_residual
+
+        x = jnp.asarray(np.random.RandomState(2)
+                        .randn(3, 5).astype(np.float32))
+        mask = jnp.asarray([[True, True, False, False, False]] * 3)
+        xm = jnp.where(mask, x, L.NEG_INF)
+
+        def f(v):
+            return jnp.sum(softmax_bf16_residual(v, -1) ** 2)
+
+        g = np.asarray(jax.grad(f)(xm))
+        assert np.allclose(g[:, 2:], 0.0)
+        assert np.all(np.isfinite(g))
+
+
 class TestGloriaLocal:
     def test_matches_naive_loop(self):
         rng = np.random.RandomState(0)
