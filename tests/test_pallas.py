@@ -41,11 +41,17 @@ class TestGloriaSimilarityKernel:
         oracle is XLA grads of that function (inputs pre-rounded through
         bf16); vs the pure-f32 grads it sits at ~4% because the GLoRIA
         chain (exp(5·cos) over sharpened softmaxes) amplifies input
-        rounding, which is forward-function difference, not vjp error."""
+        rounding, which is forward-function difference, not vjp error.
+
+        MEDMOE_SOFTMAX_RES=f32 pins the ORACLE to full-precision softmax
+        residuals: the production bf16-residual vjp (ops/softmax.py,
+        unit-tested separately) would add its own ~1.7% rounding to the
+        oracle's grads, and this test isolates the KERNELS' vjp error."""
         from medmoe_tpu.ops.pallas.gloria_attention import (
             _sim_xla, gloria_similarity_pallas)
 
         monkeypatch.setenv("MEDMOE_GLORIA_BWD", backend)
+        monkeypatch.setenv("MEDMOE_SOFTMAX_RES", "f32")
         img, words, cap = data
 
         def loss_p(i, w):
