@@ -133,6 +133,12 @@ def _expand_multirun(overrides: List[str]) -> List[List[str]]:
 
 def _run_one(overrides: List[str]) -> Dict[str, float]:
     cfg = compose("train", overrides)
+    # pod runs must join the distributed runtime BEFORE any jax device
+    # use (seed_everything / instantiate may touch the backend); the
+    # Trainer re-checks at construction for library (non-CLI) callers
+    from medmoe_tpu.parallel.multihost import maybe_initialize
+
+    maybe_initialize(cfg.trainer.get("num_nodes"))
     extras(cfg)
     if cfg.get("hparams_search"):
         from medmoe_tpu.train.sweep import run_sweep

@@ -45,7 +45,18 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a host batch onto the mesh, sharded over ``data``.
+
+    Single-process: one device_put. Multi-process (pod): each process's
+    loader yields only ITS rows of the global batch (data/shards.py splits
+    by jax.process_index), so the global array is assembled with
+    ``jax.make_array_from_process_local_data`` — each process transfers
+    its addressable shards only; no host ever holds the global batch."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

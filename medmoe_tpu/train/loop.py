@@ -78,6 +78,7 @@ def _limit(iterable: Iterable, limit: Optional[float],
 class Trainer:
     def __init__(self, min_epochs: int = 1, max_epochs: int = 10,
                  accelerator: str = "tpu", devices: Any = "auto",
+                 num_nodes: int = 1,
                  accumulate_grad_batches: int = 1,
                  gradient_clip_val: Optional[float] = None,
                  mesh: Optional[Dict[str, int]] = None,
@@ -118,9 +119,22 @@ class Trainer:
         self.loggers = loggers or []
         self.seed = seed
 
+        # multi-host (pod) runs: join the distributed runtime BEFORE first
+        # device use so jax.devices() spans every host (reference
+        # trainer.num_nodes surface, configs/trainer/ddp.yaml:7)
+        from medmoe_tpu.parallel.multihost import maybe_initialize
+
+        maybe_initialize(num_nodes)
+        self.num_nodes = int(num_nodes or 1)
+        if self.num_nodes > 1 and jax.process_count() != self.num_nodes:
+            log.warning(
+                f"trainer.num_nodes={self.num_nodes} but the runtime has "
+                f"{jax.process_count()} processes — using the runtime's")
+
         n = len(jax.devices())
         if isinstance(devices, int):
-            n = min(devices, n)
+            # per Lightning semantics, `devices` counts LOCAL devices
+            n = min(devices * max(jax.process_count(), 1), n)
         mesh_cfg = mesh or {}
         self.mesh = make_mesh(data=int(mesh_cfg.get("data", -1) or -1),
                               expert=int(mesh_cfg.get("expert", 1) or 1),
