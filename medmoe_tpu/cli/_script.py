@@ -40,3 +40,9 @@ def serve() -> int:
     from medmoe_tpu.cli.serve import main
 
     return _as_status(main())
+
+
+def export() -> int:
+    from medmoe_tpu.cli.export import main
+
+    return _as_status(main())

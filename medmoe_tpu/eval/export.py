@@ -1,0 +1,194 @@
+"""Serving export: serialize the deployed encoders to StableHLO artifacts.
+
+The reference has no deployment story beyond "load the Lightning
+checkpoint in torch"; a TPU-native framework's equivalent is
+``jax.export``: the jitted encoder — weights baked in as constants — is
+lowered once to versioned StableHLO and shipped as a single file that any
+later jax/XLA runtime (or a C++ PJRT host, no Python model code at all)
+can load and run. Two artifacts:
+
+  * ``encode_image.jaxexport`` — f32[b, H, W, 3] (host-normalized, NHWC)
+    → L2-normalized f32[b, D] global embeddings. The batch dim ``b`` is
+    SYMBOLIC (shape-polymorphic export), so one artifact serves any wave
+    size.
+  * ``encode_text.jaxexport`` — (input_ids, attention_mask,
+    token_type_ids, segment_ids) i32[b, T] → L2-normalized f32[b, D]
+    sentence embeddings (tokenization stays on the host: the manifest
+    records vocab/max_length so the serving host reproduces it).
+
+plus ``manifest.json`` (shapes, dtypes, normalization stats, prompt
+template, platform list) — everything a serving host needs and nothing it
+must guess.
+
+Portability note: export forces the EXPERT branch onto the pure-XLA path
+(MEDMOE_EXPERT_IMPL=xla) so the artifact contains no Mosaic custom calls
+and runs on any platform in ``platforms``; peak single-chip TPU serving
+(the fused Pallas branch) stays available by serving the live module
+(cli/serve.py) instead of the artifact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from medmoe_tpu.utils.logging import get_logger
+
+log = get_logger(__name__)
+
+_IMAGE_NAME = "encode_image.jaxexport"
+_TEXT_NAME = "encode_text.jaxexport"
+_MANIFEST = "manifest.json"
+
+
+def _sds(shape, dtype):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _l2(x):
+    x = x.astype(jnp.float32)
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+
+
+def export_encoders(module, params, out_dir: str,
+                    platforms: Sequence[str] = ("cpu", "tpu"),
+                    batch: Optional[int] = None,
+                    check: bool = True) -> Dict[str, Any]:
+    """Write the two encoder artifacts + manifest to ``out_dir``.
+
+    ``batch=None`` exports a symbolic batch dimension; an int pins it
+    (some consumers want fully static artifacts). Returns the manifest.
+    ``check=True`` deserializes each artifact and asserts parity with the
+    live jitted module on a random batch before reporting success."""
+    from jax import export as jexport
+
+    os.makedirs(out_dir, exist_ok=True)
+    vision = module.vision_cfg
+    text = module.text_cfg
+    size = int(vision["image_size"])
+    t_len = int(text["max_length"])
+
+    if batch is None:
+        (b,) = jexport.symbolic_shape("b")
+    else:
+        b = int(batch)
+
+    prev_impl = os.environ.get("MEDMOE_EXPERT_IMPL")
+    os.environ["MEDMOE_EXPERT_IMPL"] = "xla"   # no Mosaic custom calls
+    try:
+        def encode_image(images):
+            g, _, _ = module.model.apply(
+                {"params": params}, images,
+                method=lambda m, im: m.encode_image(im, deterministic=True))
+            return _l2(g)
+
+        def encode_text(ids, mask, types, segs):
+            _, sent = module.model.apply(
+                {"params": params}, ids, mask, types, segs,
+                method=lambda m, *a: m.encode_text(*a, deterministic=True))
+            return _l2(sent)
+
+        img_exp = jexport.export(jax.jit(encode_image),
+                                 platforms=tuple(platforms))(
+            _sds((b, size, size, 3), jnp.float32))
+        txt_exp = jexport.export(jax.jit(encode_text),
+                                 platforms=tuple(platforms))(
+            *[_sds((b, t_len), jnp.int32)] * 4)
+    finally:
+        if prev_impl is None:
+            os.environ.pop("MEDMOE_EXPERT_IMPL", None)
+        else:
+            os.environ["MEDMOE_EXPERT_IMPL"] = prev_impl
+
+    img_path = os.path.join(out_dir, _IMAGE_NAME)
+    txt_path = os.path.join(out_dir, _TEXT_NAME)
+    with open(img_path, "wb") as f:
+        f.write(img_exp.serialize())
+    with open(txt_path, "wb") as f:
+        f.write(txt_exp.serialize())
+
+    embed_dim = int(img_exp.out_avals[0].shape[-1])
+    manifest = {
+        "format": "jax.export StableHLO",
+        "platforms": list(platforms),
+        "embed_dim": embed_dim,
+        "image": {
+            "file": _IMAGE_NAME,
+            "input": f"float32[{'b' if batch is None else batch},"
+                     f"{size},{size},3]",
+            "layout": "NHWC, host-normalized",
+            "norm_stats": vision.get("norm_stats", "imagenet"),
+            "output": "float32[b, D] L2-normalized",
+        },
+        "text": {
+            "file": _TEXT_NAME,
+            "inputs": ["input_ids", "attention_mask", "token_type_ids",
+                       "segment_ids"],
+            "input_shape": f"int32[{'b' if batch is None else batch},"
+                           f"{t_len}]",
+            "max_length": t_len,
+            "tokenizer": "WordPiece + merged-word segment_ids "
+                         "(medmoe_tpu/data/tokenizer.py)",
+            "output": "float32[b, D] L2-normalized",
+        },
+        "prompt_template": "this is a photo of {}",
+        "jax_version": jax.__version__,
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+
+    if check:
+        _roundtrip_check(module, params, img_path, txt_path, size, t_len,
+                         int(text.get("vocab_size", 64)),
+                         check_b=int(batch) if batch is not None else 2)
+    log.info(f"exported encoders to {out_dir} "
+             f"(D={embed_dim}, platforms={list(platforms)})")
+    return manifest
+
+
+def _roundtrip_check(module, params, img_path, txt_path, size, t_len,
+                     vocab, check_b: int = 2) -> None:
+    """Deserialize both artifacts and assert parity with the live module
+    (pure-XLA expert path on both sides) on a random batch."""
+    from jax import export as jexport
+
+    rng = np.random.RandomState(0)
+    images = rng.rand(check_b, size, size, 3).astype(np.float32)
+    ids = rng.randint(1, vocab, size=(check_b, t_len)).astype(np.int32)
+    mask = np.ones((check_b, t_len), np.int32)
+    types = np.zeros((check_b, t_len), np.int32)
+    segs = np.tile(np.arange(t_len, dtype=np.int32), (check_b, 1))
+
+    prev_impl = os.environ.get("MEDMOE_EXPERT_IMPL")
+    os.environ["MEDMOE_EXPERT_IMPL"] = "xla"
+    try:
+        live_img = np.asarray(_l2(module.model.apply(
+            {"params": params}, jnp.asarray(images),
+            method=lambda m, im: m.encode_image(im, deterministic=True))[0]))
+        live_txt = np.asarray(_l2(module.model.apply(
+            {"params": params}, jnp.asarray(ids), jnp.asarray(mask),
+            jnp.asarray(types), jnp.asarray(segs),
+            method=lambda m, *a: m.encode_text(*a, deterministic=True))[1]))
+    finally:
+        if prev_impl is None:
+            os.environ.pop("MEDMOE_EXPERT_IMPL", None)
+        else:
+            os.environ["MEDMOE_EXPERT_IMPL"] = prev_impl
+
+    with open(img_path, "rb") as f:
+        got_img = np.asarray(jexport.deserialize(f.read()).call(images))
+    with open(txt_path, "rb") as f:
+        got_txt = np.asarray(jexport.deserialize(f.read())
+                             .call(ids, mask, types, segs))
+    for name, got, want in (("image", got_img, live_img),
+                            ("text", got_txt, live_txt)):
+        err = np.abs(got - want).max()
+        if err > 1e-5:
+            raise AssertionError(
+                f"exported {name} encoder diverges from the live module "
+                f"(max abs err {err:.2e})")

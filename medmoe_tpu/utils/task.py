@@ -83,6 +83,14 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
         import jax
 
         os.makedirs(cache_dir, exist_ok=True)
+        # the cache singleton binds its directory at first use: re-pointing
+        # after another surface already compiled in-process (CLI chained
+        # after CLI, or a test after an export) silently keeps the OLD dir
+        # unless the singleton is reset
+        if jax.config.jax_compilation_cache_dir not in (None, cache_dir):
+            from jax._src import compilation_cache as _cc
+
+            _cc.reset_cache()
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         # default threshold (1s) already excludes trivial programs; make the
         # floor explicit so behavior doesn't drift with jax versions

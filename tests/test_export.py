@@ -1,0 +1,91 @@
+"""StableHLO serving export (medmoe_tpu/eval/export.py + cli/export.py):
+artifact files + manifest, built-in live-module parity check, and the
+shape-polymorphic batch dimension."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+TINY = [
+    "data=synthetic", "data.batch_size=4", "data.num_samples=8",
+    "data.image_size=56",
+    "model.model.vision.image_size=56",
+    "model.model.vision.swin_embed_dim=8",
+    "model.model.vision.swin_depths=[1,1]",
+    "model.model.vision.swin_num_heads=[1,2]",
+    "model.model.vision.num_experts=3",
+    "model.model.vision.embed_dim=16",
+    "model.model.vision.dtype=float32",
+    "model.model.text.hidden_size=16",
+    "model.model.text.num_layers=2",
+    "model.model.text.num_heads=2",
+    "model.model.text.intermediate_size=32",
+    "model.model.text.vocab_size=64",
+    "model.model.text.embed_dim=16",
+    "model.model.text.max_length=10",
+    "model.model.text.dtype=float32",
+]
+
+
+class TestExportCLI:
+    def test_export_roundtrip_and_polymorphic_batch(self, tmp_path, capsys):
+        from medmoe_tpu.cli.export import main
+
+        out = tmp_path / "artifacts"
+        manifest = main(TINY + [f"export.dir={out}",
+                                "export.platforms=[cpu]",
+                                f"paths.root_dir={tmp_path}"])
+        # the built-in check=True already asserted live-module parity
+        assert (out / "encode_image.jaxexport").exists()
+        assert (out / "encode_text.jaxexport").exists()
+        disk = json.loads((out / "manifest.json").read_text())
+        assert disk["embed_dim"] == manifest["embed_dim"] > 0
+        assert disk["platforms"] == ["cpu"]
+        printed = [l for l in capsys.readouterr().out.splitlines()
+                   if l.startswith("{")]
+        assert json.loads(printed[-1])["embed_dim"] == disk["embed_dim"]
+
+        # the symbolic batch dim must accept arbitrary wave sizes
+        from jax import export as jexport
+
+        art = jexport.deserialize(
+            (out / "encode_image.jaxexport").read_bytes())
+        rng = np.random.RandomState(1)
+        for b in (1, 2, 5):
+            emb = np.asarray(art.call(
+                rng.rand(b, 56, 56, 3).astype(np.float32)))
+            assert emb.shape == (b, disk["embed_dim"])
+            np.testing.assert_allclose(np.linalg.norm(emb, axis=-1),
+                                       1.0, rtol=1e-5)
+        # different inputs → different embeddings (artifact isn't constant)
+        e2 = np.asarray(art.call(rng.rand(2, 56, 56, 3)
+                                 .astype(np.float32)))
+        assert not np.allclose(e2[0], e2[1])
+
+    def test_static_batch_export(self, tmp_path):
+        from medmoe_tpu.cli.export import main
+
+        out = tmp_path / "static"
+        main(TINY + [f"export.dir={out}", "export.platforms=[cpu]",
+                     "export.batch=3", f"paths.root_dir={tmp_path}"])
+        from jax import export as jexport
+
+        art = jexport.deserialize(
+            (out / "encode_image.jaxexport").read_bytes())
+        ok = np.asarray(art.call(np.zeros((3, 56, 56, 3), np.float32)))
+        assert ok.shape[0] == 3
+        with pytest.raises(Exception):
+            art.call(np.zeros((4, 56, 56, 3), np.float32))
+
+    def test_expert_impl_env_restored(self, tmp_path, monkeypatch):
+        """export forces MEDMOE_EXPERT_IMPL=xla during lowering but must
+        restore the caller's value."""
+        from medmoe_tpu.cli.export import main
+
+        monkeypatch.setenv("MEDMOE_EXPERT_IMPL", "pallas")
+        main(TINY + [f"export.dir={tmp_path / 'e'}",
+                     "export.platforms=[cpu]",
+                     f"paths.root_dir={tmp_path}"])
+        assert os.environ["MEDMOE_EXPERT_IMPL"] == "pallas"
