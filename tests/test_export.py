@@ -64,6 +64,24 @@ class TestExportCLI:
                                  .astype(np.float32)))
         assert not np.allclose(e2[0], e2[1])
 
+    def test_multi_platform_default(self, tmp_path):
+        """The default platforms=[cpu,tpu] lowers both variants from a
+        CPU-only process (lowering is rule-based, no TPU needed) and the
+        artifact still executes on the host platform."""
+        from medmoe_tpu.cli.export import main
+
+        out = tmp_path / "multi"
+        manifest = main(TINY + [f"export.dir={out}",
+                                f"paths.root_dir={tmp_path}"])
+        assert manifest["platforms"] == ["cpu", "tpu"]
+        from jax import export as jexport
+
+        art = jexport.deserialize(
+            (out / "encode_image.jaxexport").read_bytes())
+        assert tuple(art.platforms) == ("cpu", "tpu")
+        emb = np.asarray(art.call(np.zeros((2, 56, 56, 3), np.float32)))
+        assert emb.shape == (2, manifest["embed_dim"])
+
     def test_static_batch_export(self, tmp_path):
         from medmoe_tpu.cli.export import main
 
