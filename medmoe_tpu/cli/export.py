@@ -48,6 +48,7 @@ def main(argv: Optional[List[str]] = None) -> Dict:
         module, params, str(cfg.export.dir),
         platforms=tuple(cfg.export.get("platforms", ("cpu", "tpu"))),
         batch=int(batch) if batch is not None else None,
+        bake_weights=bool(cfg.export.get("bake_weights", True)),
         check=bool(cfg.export.get("check", True)))
     print(json.dumps({"export_dir": str(cfg.export.dir),
                       "embed_dim": manifest["embed_dim"],

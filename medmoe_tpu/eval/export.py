@@ -43,7 +43,47 @@ log = get_logger(__name__)
 
 _IMAGE_NAME = "encode_image.jaxexport"
 _TEXT_NAME = "encode_text.jaxexport"
+_WEIGHTS_NAME = "weights.npz"
 _MANIFEST = "manifest.json"
+
+
+def _save_weights(path: str, params) -> None:
+    """Flatten the param tree to '/'-joined keys → one npz file."""
+    flat = {}
+    for kp, leaf in jax.tree_util.tree_leaves_with_path(params):
+        key = "/".join(str(getattr(k, "key", k)) for k in kp)
+        arr = np.asarray(leaf)
+        if arr.dtype == jnp.bfloat16:       # npz has no bf16
+            arr = arr.astype(np.float32)
+        flat[key] = arr
+    np.savez(path, **flat)
+
+
+def load_weights(export_dir: str):
+    """weights.npz → nested param dict (inverse of _save_weights)."""
+    loaded = np.load(os.path.join(export_dir, _WEIGHTS_NAME))
+    tree: Dict[str, Any] = {}
+    for key in loaded.files:
+        node = tree
+        parts = key.split("/")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = loaded[key]
+    return tree
+
+
+def call_exported(export_dir: str, which: str):
+    """Load one artifact as a plain callable: images→emb / tokens→emb.
+    Handles both weight modes (baked constants vs weights.npz arg)."""
+    from jax import export as jexport
+
+    name = {"image": _IMAGE_NAME, "text": _TEXT_NAME}[which]
+    with open(os.path.join(export_dir, name), "rb") as f:
+        art = jexport.deserialize(f.read())
+    if os.path.exists(os.path.join(export_dir, _WEIGHTS_NAME)):
+        weights = load_weights(export_dir)
+        return lambda *inputs: art.call(weights, *inputs)
+    return art.call
 
 
 def _sds(shape, dtype):
@@ -58,13 +98,20 @@ def _l2(x):
 def export_encoders(module, params, out_dir: str,
                     platforms: Sequence[str] = ("cpu", "tpu"),
                     batch: Optional[int] = None,
+                    bake_weights: bool = True,
                     check: bool = True) -> Dict[str, Any]:
     """Write the two encoder artifacts + manifest to ``out_dir``.
 
     ``batch=None`` exports a symbolic batch dimension; an int pins it
-    (some consumers want fully static artifacts). Returns the manifest.
-    ``check=True`` deserializes each artifact and asserts parity with the
-    live jitted module on a random batch before reporting success."""
+    (some consumers want fully static artifacts). ``bake_weights=False``
+    exports the weights as a FUNCTION ARGUMENT instead of baked constants:
+    the program shrinks from hundreds of MB to ~MB (serving stacks with
+    program-size caps — including this harness's remote-compile proxy,
+    which rejects the 342 MB baked BERT program — need this form) and the
+    weights ship alongside as ``weights.npz`` (load_weights/call_exported
+    below reassemble the tree). Returns the manifest. ``check=True``
+    deserializes each artifact and asserts parity with the live jitted
+    module on a random batch before reporting success."""
     from jax import export as jexport
 
     os.makedirs(out_dir, exist_ok=True)
@@ -81,29 +128,55 @@ def export_encoders(module, params, out_dir: str,
     prev_impl = os.environ.get("MEDMOE_EXPERT_IMPL")
     os.environ["MEDMOE_EXPERT_IMPL"] = "xla"   # no Mosaic custom calls
     try:
-        def encode_image(images):
-            g, _, _ = module.model.apply(
-                {"params": params}, images,
-                method=lambda m, im: m.encode_image(im, deterministic=True))
-            return _l2(g)
+        if bake_weights:
+            def encode_image(images):
+                g, _, _ = module.model.apply(
+                    {"params": params}, images,
+                    method=lambda m, im: m.encode_image(
+                        im, deterministic=True))
+                return _l2(g)
 
-        def encode_text(ids, mask, types, segs):
-            _, sent = module.model.apply(
-                {"params": params}, ids, mask, types, segs,
-                method=lambda m, *a: m.encode_text(*a, deterministic=True))
-            return _l2(sent)
+            def encode_text(ids, mask, types, segs):
+                _, sent = module.model.apply(
+                    {"params": params}, ids, mask, types, segs,
+                    method=lambda m, *a: m.encode_text(
+                        *a, deterministic=True))
+                return _l2(sent)
+
+            img_in = (_sds((b, size, size, 3), jnp.float32),)
+            txt_in = tuple([_sds((b, t_len), jnp.int32)] * 4)
+        else:
+            def encode_image(p, images):
+                g, _, _ = module.model.apply(
+                    {"params": p}, images,
+                    method=lambda m, im: m.encode_image(
+                        im, deterministic=True))
+                return _l2(g)
+
+            def encode_text(p, ids, mask, types, segs):
+                _, sent = module.model.apply(
+                    {"params": p}, ids, mask, types, segs,
+                    method=lambda m, *a: m.encode_text(
+                        *a, deterministic=True))
+                return _l2(sent)
+
+            p_avals = jax.tree_util.tree_map(
+                lambda x: _sds(x.shape, x.dtype), params)
+            img_in = (p_avals, _sds((b, size, size, 3), jnp.float32))
+            txt_in = (p_avals,) + tuple([_sds((b, t_len), jnp.int32)] * 4)
 
         img_exp = jexport.export(jax.jit(encode_image),
-                                 platforms=tuple(platforms))(
-            _sds((b, size, size, 3), jnp.float32))
+                                 platforms=tuple(platforms))(*img_in)
         txt_exp = jexport.export(jax.jit(encode_text),
-                                 platforms=tuple(platforms))(
-            *[_sds((b, t_len), jnp.int32)] * 4)
+                                 platforms=tuple(platforms))(*txt_in)
     finally:
         if prev_impl is None:
             os.environ.pop("MEDMOE_EXPERT_IMPL", None)
         else:
             os.environ["MEDMOE_EXPERT_IMPL"] = prev_impl
+
+    if not bake_weights:
+        _save_weights(os.path.join(out_dir, _WEIGHTS_NAME), params)
 
     img_path = os.path.join(out_dir, _IMAGE_NAME)
     txt_path = os.path.join(out_dir, _TEXT_NAME)
@@ -136,6 +209,7 @@ def export_encoders(module, params, out_dir: str,
                          "(medmoe_tpu/data/tokenizer.py)",
             "output": "float32[b, D] L2-normalized",
         },
+        "weights": "baked" if bake_weights else _WEIGHTS_NAME,
         "prompt_template": "this is a photo of {}",
         "jax_version": jax.__version__,
     }
@@ -180,15 +254,19 @@ def _roundtrip_check(module, params, img_path, txt_path, size, t_len,
         else:
             os.environ["MEDMOE_EXPERT_IMPL"] = prev_impl
 
-    with open(img_path, "rb") as f:
-        got_img = np.asarray(jexport.deserialize(f.read()).call(images))
-    with open(txt_path, "rb") as f:
-        got_txt = np.asarray(jexport.deserialize(f.read())
-                             .call(ids, mask, types, segs))
+    export_dir = os.path.dirname(img_path)
+    got_img = np.asarray(call_exported(export_dir, "image")(images))
+    got_txt = np.asarray(call_exported(export_dir, "text")(
+        ids, mask, types, segs))
     for name, got, want in (("image", got_img, live_img),
                             ("text", got_txt, live_txt)):
         err = np.abs(got - want).max()
-        if err > 1e-5:
+        # outputs are unit-norm embeddings: 2e-3 abs admits XLA's bf16
+        # reassociation noise between the symbolic-batch artifact and the
+        # static-batch live jit (measured 1.05e-4 image / 7.3e-4 text at
+        # full 224px/12-layer size) while wrong/permuted weights give
+        # O(1) errors
+        if err > 2e-3:
             raise AssertionError(
                 f"exported {name} encoder diverges from the live module "
                 f"(max abs err {err:.2e})")

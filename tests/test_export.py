@@ -97,6 +97,37 @@ class TestExportCLI:
         with pytest.raises(Exception):
             art.call(np.zeros((4, 56, 56, 3), np.float32))
 
+    def test_unbaked_weights_mode(self, tmp_path):
+        """bake_weights=false: ~MB program + weights.npz; call_exported
+        reassembles the tree and matches the baked artifact exactly."""
+        from medmoe_tpu.cli.export import main
+        from medmoe_tpu.eval.export import call_exported, load_weights
+
+        baked = tmp_path / "baked"
+        unbaked = tmp_path / "unbaked"
+        main(TINY + [f"export.dir={baked}", "export.platforms=[cpu]",
+                     f"paths.root_dir={tmp_path}"])
+        main(TINY + [f"export.dir={unbaked}", "export.platforms=[cpu]",
+                     "export.bake_weights=false",
+                     f"paths.root_dir={tmp_path}"])
+        assert (unbaked / "weights.npz").exists()
+        # weights moved out of the StableHLO constants: the program must
+        # shrink (at tiny shapes only by the small param bytes; at full
+        # size 146 MB → ~2 MB — measured, docs/PERFORMANCE.md)
+        assert ((unbaked / "encode_image.jaxexport").stat().st_size
+                < (baked / "encode_image.jaxexport").stat().st_size)
+        assert (unbaked / "weights.npz").stat().st_size > 10_000
+        w = load_weights(str(unbaked))
+        assert isinstance(w, dict) and w     # nested, non-empty
+
+        rng = np.random.RandomState(2)
+        images = rng.rand(3, 56, 56, 3).astype(np.float32)
+        got_b = np.asarray(call_exported(str(baked), "image")(images))
+        got_u = np.asarray(call_exported(str(unbaked), "image")(images))
+        # baked constants let XLA fold/reassociate slightly differently —
+        # ~1e-7, not bit-exact
+        np.testing.assert_allclose(got_b, got_u, atol=1e-6)
+
     def test_expert_impl_env_restored(self, tmp_path, monkeypatch):
         """export forces MEDMOE_EXPERT_IMPL=xla during lowering but must
         restore the caller's value."""
