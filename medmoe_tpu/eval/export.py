@@ -74,13 +74,21 @@ def load_weights(export_dir: str):
 
 def call_exported(export_dir: str, which: str):
     """Load one artifact as a plain callable: images→emb / tokens→emb.
-    Handles both weight modes (baked constants vs weights.npz arg)."""
+    Handles both weight modes (baked constants vs weights.npz arg). The
+    manifest's ``weights`` field is authoritative when present (a bare
+    weights.npz left behind by an older export must not be trusted)."""
     from jax import export as jexport
 
     name = {"image": _IMAGE_NAME, "text": _TEXT_NAME}[which]
     with open(os.path.join(export_dir, name), "rb") as f:
         art = jexport.deserialize(f.read())
-    if os.path.exists(os.path.join(export_dir, _WEIGHTS_NAME)):
+    manifest_path = os.path.join(export_dir, _MANIFEST)
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            unbaked = json.load(f).get("weights") == _WEIGHTS_NAME
+    else:
+        unbaked = os.path.exists(os.path.join(export_dir, _WEIGHTS_NAME))
+    if unbaked:
         weights = load_weights(export_dir)
         return lambda *inputs: art.call(weights, *inputs)
     return art.call
@@ -177,6 +185,12 @@ def export_encoders(module, params, out_dir: str,
 
     if not bake_weights:
         _save_weights(os.path.join(out_dir, _WEIGHTS_NAME), params)
+    else:
+        # a baked re-export into a dir that previously held an unbaked one
+        # must not leave the stale weights file behind
+        stale = os.path.join(out_dir, _WEIGHTS_NAME)
+        if os.path.exists(stale):
+            os.remove(stale)
 
     img_path = os.path.join(out_dir, _IMAGE_NAME)
     txt_path = os.path.join(out_dir, _TEXT_NAME)

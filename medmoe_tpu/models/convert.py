@@ -227,6 +227,21 @@ def load_medclip_checkpoint(params: Dict[str, Any], checkpoint_path: str,
     text_sd = TrackedStateDict(
         {k[len("text_model."):]: v for k, v in sd.items()
          if k.startswith("text_model.")})
+    # keys under NEITHER tower prefix would otherwise be dropped before
+    # the coverage tracking ever sees them (e.g. a checkpoint that grew a
+    # logit_scale or projection head at the top level) — same policy as
+    # the per-tower leftovers: warn, or raise under strict
+    other = [k for k in sd
+             if not k.startswith(("vision_model.", "text_model."))
+             and not any(k.endswith(s) or k == s.lstrip(".")
+                         for s in IGNORABLE_KEY_SUFFIXES)]
+    if other:
+        msg = (f"convert: {len(other)} checkpoint keys outside the "
+               f"vision_model./text_model. prefixes were NOT consumed "
+               f"(first 10): {other[:10]}")
+        if strict:
+            raise ValueError(msg)
+        log.warning(msg)
 
     params = jax.tree_util.tree_map(np.asarray, params)
     n = 0

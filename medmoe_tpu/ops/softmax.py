@@ -36,7 +36,12 @@ def _fwd(x, axis):
 
 def _bwd(axis, y16, g):
     y = y16.astype(jnp.float32)
-    return (y * (g - jnp.sum(y * g, axis=axis, keepdims=True)),)
+    gf = g.astype(jnp.float32)
+    d = y * (gf - jnp.sum(y * gf, axis=axis, keepdims=True))
+    # the cotangent must carry the PRIMAL dtype; softmax preserves dtype,
+    # so g's dtype is the primal's (a bf16 caller would otherwise crash
+    # with a custom_vjp dtype mismatch)
+    return (d.astype(g.dtype),)
 
 
 softmax_bf16_residual.defvjp(_fwd, _bwd)

@@ -44,6 +44,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def _place_process_local(batch: Any, sharding: NamedSharding) -> Any:
+    """Assemble global arrays from per-process rows; leaves that are
+    already (global) jax.Arrays pass through untouched."""
+    import numpy as np
+
+    def place(x):
+        if isinstance(x, jax.Array):
+            return x
+        return jax.make_array_from_process_local_data(sharding,
+                                                      np.asarray(x))
+
+    return jax.tree_util.tree_map(place, batch)
+
+
 def shard_batch(batch: Any, mesh: Mesh) -> Any:
     """Place a host batch onto the mesh, sharded over ``data``.
 
@@ -52,13 +66,24 @@ def shard_batch(batch: Any, mesh: Mesh) -> Any:
     by jax.process_index), so the global array is assembled with
     ``jax.make_array_from_process_local_data`` — each process transfers
     its addressable shards only; no host ever holds the global batch."""
-    sharding = batch_sharding(mesh)
     if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sharding, x),
-            batch)
+        return _place_process_local(batch, batch_sharding(mesh))
+    sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
+
+
+def shard_stacked_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a stacked accumulation window ([accum, micro, ...], micro axis
+    sharded over ``data``) for multi-process runs. Single-process returns
+    the batch untouched: the jitted step's in_shardings place host numpy in
+    one transfer there (the measured-faster form, train/loop.py), whereas
+    committed per-process numpy under a multi-host mesh is either rejected
+    by jit or silently treated as the GLOBAL batch."""
+    if jax.process_count() <= 1:
+        return batch
+    return _place_process_local(
+        batch, NamedSharding(mesh, P(None, "data")))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

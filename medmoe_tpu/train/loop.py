@@ -20,7 +20,8 @@ import numpy as np
 
 from medmoe_tpu.data.prefetch import prefetch
 from medmoe_tpu.parallel.mesh import make_mesh
-from medmoe_tpu.parallel.sharding import param_shardings, shard_batch
+from medmoe_tpu.parallel.sharding import (param_shardings, shard_batch,
+                                          shard_stacked_batch)
 from medmoe_tpu.train.optim import get_learning_rate, set_learning_rate
 from medmoe_tpu.train.state import TrainState
 
@@ -73,6 +74,22 @@ def _limit(iterable: Iterable, limit: Optional[float],
         if i >= limit:
             return
         yield item
+
+
+def _select_local_devices(device_list, per_host: int):
+    """An int trainer.devices counts LOCAL devices (Lightning semantics):
+    take the first ``per_host`` of EACH process. A global-prefix slice
+    (jax.devices()[:n]) would hand every selected chip to the first
+    host(s) and leave later processes with zero addressable devices in
+    the mesh."""
+    taken: Dict[int, int] = {}
+    picked = []
+    for d in device_list:
+        p = getattr(d, "process_index", 0)
+        if taken.get(p, 0) < per_host:
+            taken[p] = taken.get(p, 0) + 1
+            picked.append(d)
+    return picked
 
 
 class Trainer:
@@ -131,14 +148,13 @@ class Trainer:
                 f"trainer.num_nodes={self.num_nodes} but the runtime has "
                 f"{jax.process_count()} processes — using the runtime's")
 
-        n = len(jax.devices())
+        device_list = jax.devices()
         if isinstance(devices, int):
-            # per Lightning semantics, `devices` counts LOCAL devices
-            n = min(devices * max(jax.process_count(), 1), n)
+            device_list = _select_local_devices(device_list, devices)
         mesh_cfg = mesh or {}
         self.mesh = make_mesh(data=int(mesh_cfg.get("data", -1) or -1),
                               expert=int(mesh_cfg.get("expert", 1) or 1),
-                              devices=jax.devices()[:n])
+                              devices=device_list)
         self.expert_parallel = int(mesh_cfg.get("expert", 1) or 1) > 1
 
         self.state: Optional[TrainState] = None
@@ -301,7 +317,7 @@ class Trainer:
             for i, batch in enumerate(datamodule.val_dataloader()):
                 if i >= self.num_sanity_val_steps:
                     break
-                eval_step(self.state.params, batch)
+                eval_step(self.state.params, shard_batch(batch, self.mesh))
 
         profile_dir = None
         if self.profiler:
@@ -354,7 +370,8 @@ class Trainer:
                 if len(micro_batches) < self.accumulate_grad_batches:
                     continue
                 if self.accumulate_grad_batches > 1:
-                    device_batch = self._stack_accum(micro_batches)
+                    device_batch = shard_stacked_batch(
+                        self._stack_accum(micro_batches), self.mesh)
                 else:
                     device_batch = micro_batches[0]
                 micro_batches = []
@@ -395,8 +412,10 @@ class Trainer:
             if micro_batches:
                 leftover = len(micro_batches)
                 flush_step = get_step(leftover)
-                device_batch = (self._stack_accum(micro_batches)
-                                if leftover > 1 else micro_batches[0])
+                device_batch = (shard_stacked_batch(
+                    self._stack_accum(micro_batches), self.mesh)
+                    if leftover > 1
+                    else shard_batch(micro_batches[0], self.mesh))
                 step_rng, sub = jax.random.split(step_rng)
                 self.state, metrics = flush_step(self.state, device_batch,
                                                  sub)

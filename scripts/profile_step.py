@@ -59,9 +59,23 @@ def main():
     xplane = xplanes[-1]
     print(f"trace: {xplane}", file=sys.stderr)
 
-    from tensorboard_plugin_profile.convert import raw_to_tool_data
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data
+        data = raw_to_tool_data.xspace_to_tool_data([xplane], args.tool, {})
+    except Exception as exc:
+        # the plugin converter is broken in this image (protobuf 5.x vs its
+        # generated 3.x descriptors) — fall back to the direct xplane
+        # aggregation that scripts/xplane_top_ops.py was written for
+        print(f"plugin converter unavailable ({exc!r}); falling back to "
+              f"xplane_top_ops", file=sys.stderr)
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import xplane_top_ops
 
-    data = raw_to_tool_data.xspace_to_tool_data([xplane], args.tool, {})
+        sys.argv = ["xplane_top_ops", xplane,
+                    "--steps", str(args.steps), "--top", str(args.top)]
+        xplane_top_ops.main()
+        return
+
     payload = data[0] if isinstance(data, tuple) else data
     if isinstance(payload, bytes):
         payload = payload.decode("utf-8", errors="replace")

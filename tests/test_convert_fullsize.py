@@ -156,3 +156,13 @@ class TestFullSizeConversion:
         tree = {"text_encoder": {"bert": params}}
         with pytest.raises(ValueError, match="extra_projection"):
             load_medclip_checkpoint(tree, bad, num_layers=2, strict=True)
+
+        # keys OUTSIDE the vision_model./text_model. prefixes were
+        # previously discarded before coverage tracking ever saw them —
+        # strict must reject those too (e.g. a top-level logit_scale)
+        sd2 = {f"text_model.{k}": v for k, v in hf.state_dict().items()}
+        sd2["logit_scale"] = torch.zeros(())
+        bad2 = str(tmp_path / "bad2.bin")
+        torch.save(sd2, bad2)
+        with pytest.raises(ValueError, match="logit_scale"):
+            load_medclip_checkpoint(tree, bad2, num_layers=2, strict=True)

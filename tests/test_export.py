@@ -128,6 +128,15 @@ class TestExportCLI:
         # ~1e-7, not bit-exact
         np.testing.assert_allclose(got_b, got_u, atol=1e-6)
 
+        # a baked RE-export into the unbaked dir must remove the stale
+        # weights.npz (call_exported would otherwise prepend a weights
+        # tree to a program that doesn't take one)
+        main(TINY + [f"export.dir={unbaked}", "export.platforms=[cpu]",
+                     f"paths.root_dir={tmp_path}"])
+        assert not (unbaked / "weights.npz").exists()
+        rebaked = np.asarray(call_exported(str(unbaked), "image")(images))
+        np.testing.assert_allclose(rebaked, got_b, atol=1e-6)
+
     def test_expert_impl_env_restored(self, tmp_path, monkeypatch):
         """export forces MEDMOE_EXPERT_IMPL=xla during lowering but must
         restore the caller's value."""

@@ -86,6 +86,18 @@ class TestSoftmaxBf16Residual:
         # against the custom vjp silently not being used)
         assert not np.array_equal(np.asarray(g16), np.asarray(g32))
 
+    def test_bf16_primal_gradable(self):
+        """A bfloat16 caller must get a bfloat16 cotangent back (the
+        custom_vjp contract requires the primal dtype)."""
+        from medmoe_tpu.ops.softmax import softmax_bf16_residual
+
+        x = jnp.asarray(np.random.RandomState(4).randn(4, 9),
+                        jnp.bfloat16)
+        g = jax.grad(lambda v: jnp.sum(
+            softmax_bf16_residual(v, -1).astype(jnp.float32) ** 2))(x)
+        assert g.dtype == jnp.bfloat16
+        assert np.all(np.isfinite(np.asarray(g, np.float32)))
+
     def test_env_kill_switch(self, monkeypatch):
         from medmoe_tpu.ops import softmax as S
 

@@ -94,3 +94,50 @@ class TestShardBatchProcessLocal:
         assert got["x"].sharding == expected["x"].sharding
         np.testing.assert_array_equal(np.asarray(got["x"]),
                                       np.asarray(expected["x"]))
+
+    def test_stacked_window_placement(self, monkeypatch):
+        """The accumulation window ([accum, micro, ...]) must go through
+        make_array_from_process_local_data on multi-process runs with the
+        micro axis on 'data' — committed per-process numpy under a global
+        mesh is either rejected by jit or silently treated as the global
+        batch. Single-process: passthrough (jit places host numpy itself,
+        the measured-faster form). Already-global jax.Arrays (the overfit
+        device cache) pass through untouched in both modes."""
+        from jax.sharding import PartitionSpec as P
+
+        from medmoe_tpu.parallel.mesh import make_mesh
+        from medmoe_tpu.parallel.sharding import shard_stacked_batch
+
+        mesh = make_mesh(data=-1, expert=1)
+        n = mesh.devices.size
+        window = {"x": np.arange(2 * 4 * n, dtype=np.float32)
+                  .reshape(2, 4 * n)}
+        same = shard_stacked_batch(window, mesh)
+        assert same["x"] is window["x"]              # single-process: no-op
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        placed = shard_stacked_batch(window, mesh)
+        assert isinstance(placed["x"], jax.Array)
+        assert placed["x"].sharding.spec == P(None, "data")
+        np.testing.assert_array_equal(np.asarray(placed["x"]), window["x"])
+        again = shard_stacked_batch(placed, mesh)    # device leaves pass
+        assert again["x"] is placed["x"]
+
+    def test_int_devices_selects_per_process(self):
+        """trainer.devices=N must take N LOCAL devices from each process,
+        not a prefix of the global list (which would give later hosts a
+        mesh with zero addressable devices)."""
+        from medmoe_tpu.train.loop import _select_local_devices
+
+        class FakeDev:
+            def __init__(self, pid, i):
+                self.process_index = pid
+                self.id = i
+
+        devs = [FakeDev(p, i) for p in range(2) for i in range(4)]
+        picked = _select_local_devices(devs, 2)
+        assert [(d.process_index, d.id) for d in picked] == [
+            (0, 0), (0, 1), (1, 0), (1, 1)]
+        # single-process: same as the old prefix slice
+        solo = [FakeDev(0, i) for i in range(8)]
+        assert _select_local_devices(solo, 3) == solo[:3]
