@@ -86,6 +86,27 @@ class BaseDataModule:
     def _corpus_fallback(self) -> Optional[Sequence[str]]:
         return None
 
+    # -- multi-host -----------------------------------------------------
+    def _process_split(self, rows: List) -> List:
+        """Disjoint per-process slice of a (globally ordered) row list.
+
+        Multi-host analogue of data/shards.py's per-process shard split,
+        for MAP-STYLE datasets: every process builds the same global order
+        (same seed + config on all hosts), then takes a stride slice.
+        Without this, each host would load the full dataset and
+        shard_batch's make_array_from_process_local_data would stitch
+        duplicated rows into the "global" batch. Trimmed so every process
+        gets EXACTLY the same count — an uneven tail would desync per-host
+        batch counts and hang the collective at the shorter hosts' last
+        step."""
+        import jax
+
+        n_proc = jax.process_count()
+        if n_proc <= 1:
+            return rows
+        usable = len(rows) - (len(rows) % n_proc)
+        return rows[jax.process_index():usable:n_proc]
+
     # -- batching -------------------------------------------------------
     def _collate(self, images: List[np.ndarray], captions: List[str],
                  labels: List[int]) -> Dict[str, np.ndarray]:
@@ -143,10 +164,13 @@ class SyntheticDataModule(BaseDataModule):
     ]
 
     def __init__(self, num_samples: int = 256, num_classes: int = 6, **kw):
+        import jax
+
         super().__init__(**kw)
         self.num_samples = num_samples
         self._num_classes = num_classes
-        self.steps_per_epoch = num_samples // self.batch_size
+        per_process = num_samples // max(jax.process_count(), 1)
+        self.steps_per_epoch = per_process // self.batch_size
         self.val_steps_per_epoch = self.steps_per_epoch
         self.test_steps_per_epoch = self.steps_per_epoch
 
@@ -154,8 +178,11 @@ class SyntheticDataModule(BaseDataModule):
         return self.CAPTIONS
 
     def _iter(self, seed: int) -> Iterator:
-        rng = np.random.RandomState(seed)
-        for i in range(self.num_samples):
+        # disjoint rows per process (see _process_split): each index draws
+        # its OWN rng stream so process p skipping other processes' indices
+        # still produces the same sample for index i as a 1-process run
+        for i in self._process_split(list(range(self.num_samples))):
+            rng = np.random.RandomState(seed * 100_003 + i)
             img = rng.randn(self.image_size, self.image_size, 3).astype(
                 np.float32)
             cls = i % self._num_classes
@@ -433,19 +460,21 @@ class CheXpertDataModule(BaseDataModule):
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
         rows = self._rows("train")
-        self.steps_per_epoch = max(1, len(rows) // self.batch_size)
         # fresh in-batch negatives every epoch (reference DataLoader
-        # shuffle=True); deterministic in (seed, epoch)
+        # shuffle=True); deterministic in (seed, epoch) — identical on every
+        # process, so the stride split below is globally disjoint
         random.Random(self.seed * 1_000_003 + epoch).shuffle(rows)
+        rows = self._process_split(rows)
+        self.steps_per_epoch = max(1, len(rows) // self.batch_size)
         return prefetched(self._label_batched(self._iter(rows, True)))
 
     def val_dataloader(self) -> Iterator:
-        rows = self._rows("valid")
+        rows = self._process_split(self._rows("valid"))
         self.val_steps_per_epoch = _ceil_div(len(rows), self.batch_size)
         return prefetched(self._label_batched(self._iter(rows, False)))
 
     def test_dataloader(self) -> Iterator:
-        rows = self._rows("test")
+        rows = self._process_split(self._rows("test"))
         self.test_steps_per_epoch = _ceil_div(len(rows), self.batch_size)
         return prefetched(self._label_batched(self._iter(rows, False)))
 
@@ -494,12 +523,13 @@ class CsvDataModule(BaseDataModule):
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
         rows = self._rows()
-        self.steps_per_epoch = max(1, len(rows) // self.batch_size)
         random.Random(self.seed * 1_000_003 + epoch).shuffle(rows)
+        rows = self._process_split(rows)
+        self.steps_per_epoch = max(1, len(rows) // self.batch_size)
         return prefetched(self._batched(self._iter(rows, True)))
 
     def val_dataloader(self) -> Iterator:
-        rows = self._rows()
+        rows = self._process_split(self._rows())
         self.val_steps_per_epoch = _ceil_div(len(rows), self.batch_size)
         return prefetched(self._batched(self._iter(rows, False),
                                         drop_last=False))
@@ -554,12 +584,13 @@ class PmcoaDataModule(BaseDataModule):
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
         records = self._records("train")
-        self.steps_per_epoch = max(1, len(records) // self.batch_size)
         random.Random(self.seed * 1_000_003 + epoch).shuffle(records)
+        records = self._process_split(records)
+        self.steps_per_epoch = max(1, len(records) // self.batch_size)
         return prefetched(self._batched(self._iter(records, True)))
 
     def val_dataloader(self) -> Iterator:
-        records = self._records("valid")
+        records = self._process_split(self._records("valid"))
         self.val_steps_per_epoch = _ceil_div(len(records), self.batch_size)
         return prefetched(self._batched(self._iter(records, False),
                                         drop_last=False))
@@ -621,12 +652,13 @@ class SlakeDataModule(BaseDataModule):
 
     def train_dataloader(self, epoch: int = 0) -> Iterator:
         records = self._records("train")
-        self.steps_per_epoch = max(1, len(records) // self.batch_size)
         random.Random(self.seed * 1_000_003 + epoch).shuffle(records)
+        records = self._process_split(records)
+        self.steps_per_epoch = max(1, len(records) // self.batch_size)
         return prefetched(self._batched(self._iter(records, True)))
 
     def val_dataloader(self) -> Iterator:
-        records = self._records("valid")
+        records = self._process_split(self._records("valid"))
         self.val_steps_per_epoch = _ceil_div(len(records), self.batch_size)
         return prefetched(self._batched(self._iter(records, False),
                                         drop_last=False))

@@ -24,16 +24,22 @@ def _checkpointer():
 
 def save_checkpoint(path: str, state: Any,
                     extra: Optional[Dict[str, Any]] = None) -> None:
-    """Save a TrainState pytree (rank 0 only) + sidecar metadata."""
-    if jax.process_index() != 0:
-        return
+    """Save a TrainState pytree + sidecar metadata.
+
+    EVERY process must call this under a multi-host runtime: the orbax
+    save of mesh-sharded arrays is a collective (each process writes its
+    addressable shards; process 0 alone cannot address the others' and
+    the save would deadlock/raise). Orbax coordinates so the directory is
+    written once; only the sidecar json is gated on process 0. Assumes
+    ``path`` is on a filesystem shared by all hosts (the usual pod
+    setup), matching the reference's Lightning-on-shared-FS layout."""
     path = os.path.abspath(path)
     ckpt = _checkpointer()
     # tx is a static field; orbax saves the pytree leaves only
     ckpt.save(path, {"step": state.step, "params": state.params,
                      "opt_state": state.opt_state}, force=True)
     ckpt.wait_until_finished()
-    if extra:
+    if extra and jax.process_index() == 0:
         with open(path + ".meta.json", "w") as f:
             json.dump({k: (float(v) if hasattr(v, "item") else v)
                        for k, v in extra.items()}, f)
@@ -114,14 +120,21 @@ def restore_checkpoint(path: str, state: Any) -> Any:
     # counter, injected-hyperparam scalars) restores COMMITTED to device 0 —
     # next to mesh-sharded params that's a jit device-mismatch error
     # ("incompatible devices ... device ids [0] ... and [0..7]"), so those
-    # leaves go back to host arrays, which jit is free to co-locate.
-    def _unpin(t, r):
-        if isinstance(getattr(t, "sharding", None),
-                      jax.sharding.NamedSharding):
-            return r
-        return np.asarray(r) if hasattr(r, "shape") else r
+    # leaves go back to host arrays, which jit is free to co-locate. Only
+    # needed when the target IS mesh-sharded: on a single-device target
+    # nothing conflicts, and demoting the whole param tree to host numpy
+    # there would re-upload the full model on every non-donating jit call
+    # (e.g. each eval_step of Trainer.test(ckpt_path=...)).
+    if any(isinstance(getattr(leaf, "sharding", None),
+                      jax.sharding.NamedSharding)
+           for leaf in jax.tree_util.tree_leaves(target)):
+        def _unpin(t, r):
+            if isinstance(getattr(t, "sharding", None),
+                          jax.sharding.NamedSharding):
+                return r
+            return np.asarray(r) if hasattr(r, "shape") else r
 
-    restored = jax.tree_util.tree_map(_unpin, target, restored)
+        restored = jax.tree_util.tree_map(_unpin, target, restored)
     return state.replace(step=restored["step"], params=restored["params"],
                          opt_state=restored["opt_state"])
 

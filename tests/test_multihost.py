@@ -76,6 +76,68 @@ class TestMaybeInitialize:
         assert trainer.num_nodes == 1
 
 
+class TestMapStyleProcessSplit:
+    """Map-style datamodules must yield DISJOINT per-process rows under a
+    multi-host runtime (the webdataset reader already splits by
+    jax.process_index; without _process_split every host would feed the
+    same rows and make_array_from_process_local_data would assemble a
+    'global' batch of duplicates)."""
+
+    def test_split_disjoint_equal_and_complete(self, monkeypatch):
+        from medmoe_tpu.data.datamodules import BaseDataModule
+
+        dm = BaseDataModule(batch_size=4)
+        rows = list(range(103))
+        parts = []
+        monkeypatch.setattr(jax, "process_count", lambda: 4)
+        for p in range(4):
+            monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+            parts.append(dm._process_split(rows))
+        # equal counts (uneven tails would desync per-host batch counts)
+        assert {len(part) for part in parts} == {100 // 4}
+        flat = [r for part in parts for r in part]
+        assert len(set(flat)) == len(flat)            # disjoint
+        assert set(flat) == set(range(100))           # trimmed tail only
+        # single-process: identity
+        monkeypatch.setattr(jax, "process_count", lambda: 1)
+        assert dm._process_split(rows) is rows
+
+    def test_synthetic_rows_match_single_process(self, monkeypatch):
+        """Process p's synthetic stream must be the same SAMPLES (by index)
+        a 1-process run produces — index-keyed rng, not stream position."""
+        from medmoe_tpu.data.datamodules import SyntheticDataModule
+
+        dm = SyntheticDataModule(num_samples=8, batch_size=2, image_size=8)
+        solo = list(dm._iter(seed=3))
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda: 1)
+        part = list(dm._iter(seed=3))
+        assert len(part) == 4
+        for j, (img, cap, cls) in enumerate(part):
+            i = 1 + 2 * j                              # stride slice
+            np.testing.assert_array_equal(img, solo[i][0])
+            assert (cap, cls) == (solo[i][1], solo[i][2])
+
+    def test_csv_train_split_per_process(self, tmp_path, monkeypatch):
+        from medmoe_tpu.data.datamodules import CsvDataModule
+
+        csv_path = tmp_path / "d.csv"
+        lines = ["filepath,title,cls"]
+        lines += [f"img{i}.jpg,caption {i},0" for i in range(10)]
+        csv_path.write_text("\n".join(lines) + "\n")
+        dm = CsvDataModule(csv_path=str(csv_path), batch_size=1)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        seen = []
+        for p in range(2):
+            monkeypatch.setattr(jax, "process_index", lambda p=p: p)
+            dm.train_dataloader(epoch=0)   # images missing: split happens
+            assert dm.steps_per_epoch == 5  # before decode; counts halve
+            rows = dm._process_split(
+                sorted(dm._rows(), key=lambda r: r["filepath"]))
+            seen += [r["filepath"] for r in rows]
+        assert len(set(seen)) == 10                    # disjoint cover
+
+
 class TestShardBatchProcessLocal:
     def test_make_array_path_matches_device_put(self, monkeypatch):
         """In single-process the make_array_from_process_local_data path
