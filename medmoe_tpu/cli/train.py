@@ -135,9 +135,13 @@ def _run_one(overrides: List[str]) -> Dict[str, float]:
     cfg = compose("train", overrides)
     # pod runs must join the distributed runtime BEFORE any jax device
     # use (seed_everything / instantiate may touch the backend); the
-    # Trainer re-checks at construction for library (non-CLI) callers
+    # Trainer re-checks at construction for library (non-CLI) callers.
+    # Platform pinning must come FIRST: maybe_initialize logs
+    # process_count, which initializes the backend — on the wrong
+    # platform if trainer.accelerator=cpu hasn't been applied yet.
     from medmoe_tpu.parallel.multihost import maybe_initialize
 
+    _apply_accelerator(cfg)
     maybe_initialize(cfg.trainer.get("num_nodes"))
     extras(cfg)
     if cfg.get("hparams_search"):

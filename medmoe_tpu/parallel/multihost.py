@@ -51,6 +51,22 @@ def _cluster_env_detected() -> bool:
     return any(os.environ.get(v) for v in _CLUSTER_ENV_VARS[:3])
 
 
+def _manual_launch_spec():
+    """Explicit per-process cluster spec for MANUAL launches.
+
+    jax.distributed.initialize() reads JAX_COORDINATOR_ADDRESS itself but
+    has no env spelling for the process count/id — those normally come
+    from a managed launcher (Slurm/OpenMPI/TPU metadata). A hand-rolled
+    pod launch (one ssh per host — and the real-2-process CPU test in
+    tests/test_multihost_real.py) sets JAX_NUM_PROCESSES / JAX_PROCESS_ID
+    instead; returned as explicit initialize() kwargs."""
+    n = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if n and pid is not None and pid != "":
+        return {"num_processes": int(n), "process_id": int(pid)}
+    return {}
+
+
 def maybe_initialize(num_nodes: Optional[int] = None) -> bool:
     """Join the multi-host JAX runtime when a cluster launch is detected.
 
@@ -69,7 +85,7 @@ def maybe_initialize(num_nodes: Optional[int] = None) -> bool:
     if not (want or detected):
         return False
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**_manual_launch_spec())
     except Exception as e:
         if want:
             raise RuntimeError(
