@@ -66,6 +66,13 @@ def train(cfg) -> Tuple[Dict[str, float], Dict]:
     """Mirrors reference src/train.py:42-108: instantiate everything from
     config, fit, optionally test with the best checkpoint."""
     _apply_accelerator(cfg)
+    # join the distributed runtime BEFORE the datamodule is built: its
+    # constructor reads jax.process_count() (per-process steps_per_epoch),
+    # which initializes the backend — the Trainer's own maybe_initialize
+    # would come too late for library callers entering via train(cfg)
+    from medmoe_tpu.parallel.multihost import maybe_initialize
+
+    maybe_initialize(cfg.trainer.get("num_nodes"))
     seed_everything(cfg.get("seed"))
 
     log.info(f"instantiating datamodule <{cfg.data._target_}>")

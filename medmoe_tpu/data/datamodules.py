@@ -107,6 +107,36 @@ class BaseDataModule:
         usable = len(rows) - (len(rows) % n_proc)
         return rows[jax.process_index():usable:n_proc]
 
+    def _decode(self, load) -> Optional[np.ndarray]:
+        """Decode one image with per-topology failure semantics.
+
+        Single-host, a failed decode DROPS the sample (the webdataset
+        nothrow semantics, matching torch DataLoader skip-on-error
+        recipes). Under a multi-host runtime a drop is unsafe: it happens
+        on only the process whose stride slice holds the bad file, so
+        that host yields fewer batches than its peers, leaves the epoch
+        loop early, and the others hang in the step's gradient psum —
+        instead the sample is SUBSTITUTED with a zero image (same shape/
+        dtype, rare enough to be training-neutral) so every process keeps
+        the equal batch count _process_split established."""
+        import jax
+
+        try:
+            return load()
+        except Exception as exc:
+            if jax.process_count() <= 1:
+                return None
+            self._decode_failures = getattr(self, "_decode_failures", 0) + 1
+            if self._decode_failures <= 3:
+                from medmoe_tpu.utils.logging import get_logger
+
+                get_logger(__name__).warning(
+                    f"decode failed under multi-host ({exc}); substituting "
+                    f"a zero image to keep per-host batch counts in sync")
+            dtype = np.uint8 if getattr(self, "emit_uint8", False) \
+                else np.float32
+            return np.zeros((self.image_size, self.image_size, 3), dtype)
+
     # -- batching -------------------------------------------------------
     def _collate(self, images: List[np.ndarray], captions: List[str],
                  labels: List[int]) -> Dict[str, np.ndarray]:
@@ -182,7 +212,9 @@ class SyntheticDataModule(BaseDataModule):
         # its OWN rng stream so process p skipping other processes' indices
         # still produces the same sample for index i as a 1-process run
         for i in self._process_split(list(range(self.num_samples))):
-            rng = np.random.RandomState(seed * 100_003 + i)
+            # modulo: RandomState seeds are capped at 2**32-1 (a date-style
+            # configured seed like 20260819 would otherwise overflow)
+            rng = np.random.RandomState((seed * 100_003 + i) % 2**32)
             img = rng.randn(self.image_size, self.image_size, 3).astype(
                 np.float32)
             cls = i % self._num_classes
@@ -440,9 +472,9 @@ class CheXpertDataModule(BaseDataModule):
         transform = ImageTransform(self.image_size, pad_to_square=True,
                                    train=train, seed=self.seed)
         for row in rows:
-            try:
-                img = transform(decode_image(open(row["path"], "rb").read()))
-            except Exception:
+            img = self._decode(lambda: transform(
+                decode_image(open(row["path"], "rb").read())))
+            if img is None:
                 continue
             yield img, row["label"]
 
@@ -514,9 +546,9 @@ class CsvDataModule(BaseDataModule):
             path = row.get(self.img_key, "")
             if self.data_dir and not os.path.isabs(path):
                 path = os.path.join(self.data_dir, path)
-            try:
-                img = transform(decode_image(open(path, "rb").read()))
-            except Exception:
+            img = self._decode(lambda path=path: transform(
+                decode_image(open(path, "rb").read())))
+            if img is None:
                 continue
             label = int(float(row.get(self.label_key, 0) or 0))
             yield img, row.get(self.caption_key, ""), label
@@ -572,9 +604,9 @@ class PmcoaDataModule(BaseDataModule):
             path = rec.get("image") or rec.get("image_path") or ""
             if not os.path.isabs(path):
                 path = os.path.join(self.data_dir, path)
-            try:
-                img = transform(decode_image(open(path, "rb").read()))
-            except Exception:
+            img = self._decode(lambda path=path: transform(
+                decode_image(open(path, "rb").read())))
+            if img is None:
                 continue
             caption = rec.get("caption") or rec.get("text") or ""
             # float-tolerant like CsvDataModule: a '4.0' annotation label
@@ -642,9 +674,9 @@ class SlakeDataModule(BaseDataModule):
         for rec in records:
             path = os.path.join(self.data_dir, "imgs",
                                 rec.get("img_name", ""))
-            try:
-                img = transform(decode_image(open(path, "rb").read()))
-            except Exception:
+            img = self._decode(lambda path=path: transform(
+                decode_image(open(path, "rb").read())))
+            if img is None:
                 continue
             caption = (rec.get("question", "") + " "
                        + rec.get("answer", "")).strip()

@@ -231,9 +231,20 @@ def export_encoders(module, params, out_dir: str,
         json.dump(manifest, f, indent=2)
 
     if check:
-        _roundtrip_check(module, params, img_path, txt_path, size, t_len,
-                         int(text.get("vocab_size", 64)),
-                         check_b=int(batch) if batch is not None else 2)
+        # the roundtrip executes the artifact on THIS host's backend;
+        # exporting for platforms that exclude it (e.g. platforms=[tpu]
+        # from a CPU dev box — a supported flow, lowering is rule-based)
+        # must not fail a successful export with a call-time error
+        host = jax.default_backend()
+        if host in platforms:
+            _roundtrip_check(module, params, img_path, txt_path, size,
+                             t_len, int(text.get("vocab_size", 64)),
+                             check_b=int(batch) if batch is not None else 2)
+        else:
+            log.warning(
+                f"skipping export roundtrip check: host backend '{host}' "
+                f"is not in platforms={list(platforms)} — the artifact "
+                f"cannot execute here; validate on a target platform")
     log.info(f"exported encoders to {out_dir} "
              f"(D={embed_dim}, platforms={list(platforms)})")
     return manifest

@@ -54,6 +54,13 @@ IGNORABLE_KEY_SUFFIXES = (
 )
 
 
+def _is_ignorable(key: str) -> bool:
+    """The ONE spelling of the ignore rule — unconsumed-key tracking and
+    the out-of-prefix check must never diverge on what counts as a weight."""
+    return any(key.endswith(s) or key == s.lstrip(".")
+               for s in IGNORABLE_KEY_SUFFIXES)
+
+
 class TrackedStateDict(dict):
     """State dict that records which keys the conversion actually read, so
     callers can assert no checkpoint weight was silently dropped (the
@@ -69,23 +76,23 @@ class TrackedStateDict(dict):
         return super().__getitem__(key)
 
     def unconsumed(self):
-        return sorted(
-            k for k in self
-            if k not in self.consumed
-            and not any(k.endswith(s) or k == s.lstrip(".")
-                        for s in IGNORABLE_KEY_SUFFIXES))
+        return sorted(k for k in self
+                      if k not in self.consumed and not _is_ignorable(k))
+
+
+def _report_unconsumed(keys, what: str, strict: bool) -> None:
+    if not keys:
+        return
+    msg = (f"convert: {len(keys)} {what} checkpoint keys were NOT "
+           f"consumed by the remap (first 10): {keys[:10]}")
+    if strict:
+        raise ValueError(msg)
+    log.warning(msg)
 
 
 def _check_coverage(sd: "TrackedStateDict", what: str,
                     strict: bool) -> None:
-    leftover = sd.unconsumed()
-    if not leftover:
-        return
-    msg = (f"convert: {len(leftover)} {what} checkpoint keys were NOT "
-           f"consumed by the remap (first 10): {leftover[:10]}")
-    if strict:
-        raise ValueError(msg)
-    log.warning(msg)
+    _report_unconsumed(sd.unconsumed(), what, strict)
 
 
 def _linear(sd, prefix):
@@ -233,15 +240,9 @@ def load_medclip_checkpoint(params: Dict[str, Any], checkpoint_path: str,
     # the per-tower leftovers: warn, or raise under strict
     other = [k for k in sd
              if not k.startswith(("vision_model.", "text_model."))
-             and not any(k.endswith(s) or k == s.lstrip(".")
-                         for s in IGNORABLE_KEY_SUFFIXES)]
-    if other:
-        msg = (f"convert: {len(other)} checkpoint keys outside the "
-               f"vision_model./text_model. prefixes were NOT consumed "
-               f"(first 10): {other[:10]}")
-        if strict:
-            raise ValueError(msg)
-        log.warning(msg)
+             and not _is_ignorable(k)]
+    _report_unconsumed(other, "outside the vision_model./text_model. "
+                       "prefixes", strict)
 
     params = jax.tree_util.tree_map(np.asarray, params)
     n = 0

@@ -31,11 +31,16 @@ from medmoe_tpu.utils.logging import get_logger
 log = get_logger(__name__)
 
 # environment markers that indicate a managed multi-process launch;
-# jax.distributed.initialize() auto-detects the cluster from any of them
-_CLUSTER_ENV_VARS = (
+# jax.distributed.initialize() auto-detects the cluster from any of them.
+# Address-style vars mark a cluster whenever SET; count-style vars only
+# when their value says more than one task (a single-node Slurm job sets
+# SLURM_JOB_NUM_NODES=1 — not a cluster).
+_ADDRESS_ENV_VARS = (
     "JAX_COORDINATOR_ADDRESS",      # explicit JAX cluster spec
     "COORDINATOR_ADDRESS",
     "MEGASCALE_COORDINATOR_ADDRESS",  # multislice
+)
+_COUNT_ENV_VARS = (
     "SLURM_JOB_NUM_NODES",          # Slurm (the reference's launcher)
     "OMPI_COMM_WORLD_SIZE",         # OpenMPI
 )
@@ -44,11 +49,9 @@ _CLUSTER_ENV_VARS = (
 def _cluster_env_detected() -> bool:
     if os.environ.get("MEDMOE_MULTIHOST") == "1":
         return True
-    if os.environ.get("SLURM_JOB_NUM_NODES", "1") not in ("", "1"):
+    if any(os.environ.get(v, "1") not in ("", "1") for v in _COUNT_ENV_VARS):
         return True
-    if os.environ.get("OMPI_COMM_WORLD_SIZE", "1") not in ("", "1"):
-        return True
-    return any(os.environ.get(v) for v in _CLUSTER_ENV_VARS[:3])
+    return any(os.environ.get(v) for v in _ADDRESS_ENV_VARS)
 
 
 def _manual_launch_spec():

@@ -173,6 +173,24 @@ class Trainer:
         configs/hydra/launcher/base_submitit_slurm.yaml:25)."""
         self._preempt_requested = True
 
+    def _preempt_agreed(self) -> bool:
+        """Cross-host agreement on the preempt flag. Signals land on hosts
+        at different times (or on only some), and both the epoch break and
+        the COLLECTIVE checkpoint save must be entered by every process at
+        the same step — one host breaking early strands the others in the
+        step's gradient psum. The allgather is itself a collective, so it
+        may only run at step boundaries every process reaches."""
+        if jax.process_count() == 1:
+            return self._preempt_requested
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(
+            np.int32(self._preempt_requested))
+        agreed = bool(np.asarray(flags).max())
+        if agreed:
+            self._preempt_requested = True
+        return agreed
+
     def _install_signal_handlers(self) -> None:
         if not self.checkpoint_on_signal:
             return
@@ -274,6 +292,15 @@ class Trainer:
             module.capture_tool_params(params)
         tx = module.make_optimizer(gradient_clip_val=self.gradient_clip_val)
         self.state = self._place_state(TrainState.create(params, tx))
+        # the frozen tool tree rides into the jitted step next to the
+        # mesh-sharded state — replicate it over the SAME mesh, or jit
+        # rejects the mix of a committed single-device input and
+        # NamedSharding inputs ("incompatible devices")
+        if getattr(module, "tool_bert_params", None) is not None:
+            repl = jax.sharding.NamedSharding(self.mesh,
+                                              jax.sharding.PartitionSpec())
+            module.tool_bert_params = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, repl), module.tool_bert_params)
         self.scheduler = module.make_scheduler()
 
         start_epoch = 0
@@ -397,10 +424,16 @@ class Trainer:
                     host["lr"] = get_learning_rate(self.state.opt_state)
                     host["epoch"] = epoch
                     self._log(host, global_step)
-                if self._preempt_requested:
+                # preempt check: per-step single-host; at log-boundary
+                # steps on pods (the agreement allgather must be entered by
+                # every process at the same step — global_step is identical
+                # across hosts since _process_split equalizes batch counts)
+                if ((jax.process_count() == 1
+                     or global_step % self.log_every_n_steps == 0)
+                        and self._preempt_agreed()):
                     break
 
-            if self._preempt_requested:
+            if self._preempt_agreed():
                 self._preempt_checkpoint(epoch)
                 self.interrupted = True
                 log.info("stopping after preemption checkpoint "

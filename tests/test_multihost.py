@@ -12,7 +12,9 @@ from medmoe_tpu.parallel import multihost
 
 class TestMaybeInitialize:
     def test_single_host_noop(self, monkeypatch):
-        for v in multihost._CLUSTER_ENV_VARS + ("MEDMOE_MULTIHOST",):
+        for v in (multihost._ADDRESS_ENV_VARS + multihost._COUNT_ENV_VARS
+                  + ("MEDMOE_MULTIHOST", "JAX_NUM_PROCESSES",
+                     "JAX_PROCESS_ID")):
             monkeypatch.delenv(v, raising=False)
 
         def boom():
@@ -34,7 +36,9 @@ class TestMaybeInitialize:
         assert multihost.maybe_initialize(num_nodes=4) is True
 
     def test_num_nodes_without_cluster_raises(self, monkeypatch):
-        for v in multihost._CLUSTER_ENV_VARS + ("MEDMOE_MULTIHOST",):
+        for v in (multihost._ADDRESS_ENV_VARS + multihost._COUNT_ENV_VARS
+                  + ("MEDMOE_MULTIHOST", "JAX_NUM_PROCESSES",
+                     "JAX_PROCESS_ID")):
             monkeypatch.delenv(v, raising=False)
         monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
         monkeypatch.setattr(

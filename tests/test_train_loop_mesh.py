@@ -193,3 +193,25 @@ def _tiny_mesh_batch():
     from tests.helpers import tiny_batch
 
     return tiny_batch(batch_size=8)
+
+
+class TestSoftLabelFit:
+    def test_soft_label_tool_params_ride_the_mesh(self, tmp_path):
+        """soft_label=true with a TRAINING bert (freeze_bert=false) feeds a
+        FROZEN tool-BERT tree into the jitted step next to mesh-sharded
+        state. The tool tree must be replicated over the SAME mesh — a
+        committed single-device copy is a jit 'incompatible devices' error
+        on any devices>1 run (round-4 review finding; no other mesh test
+        exercises soft_label)."""
+        t = _fit(tmp_path, "pretraining_medmoe",
+                 ["trainer=ddp", "trainer.devices=8", "trainer.max_epochs=1",
+                  "model.loss.soft_label=true",
+                  "model.model.text.freeze_bert=false"])
+        assert len(t.metrics_history) == 1
+        assert np.isfinite(t.metrics_history[0]["train/loss"])
+        assert np.isfinite(t.metrics_history[0]["val/loss"])
+        tool = t.module.tool_bert_params
+        assert tool is not None, "tool-BERT snapshot was not captured"
+        leaf = jax.tree_util.tree_leaves(tool)[0]
+        assert isinstance(leaf.sharding, jax.sharding.NamedSharding)
+        assert leaf.sharding.mesh.devices.size == 8
