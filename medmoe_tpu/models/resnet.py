@@ -12,7 +12,8 @@ parity; batch_stats handled by the caller via mutable collections) or
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple
+import functools
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -56,7 +57,12 @@ class BasicBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
-    """1×1 → 3×3 → 1×1 bottleneck (reference resnet.py:131-190)."""
+    """1×1 → 3×3 → 1×1 bottleneck (reference resnet.py:131-190).
+
+    `groups`/`base_width` follow the torchvision ResNeXt variant the
+    reference exposes through its factory (cnn_backbones.py:89-100:
+    resnext50_32x4d / resnext101_32x8d); grouped convs carry no LoRA —
+    the reference's ResNeXt path is plain torchvision."""
 
     features: int
     strides: int = 1
@@ -64,17 +70,26 @@ class Bottleneck(nn.Module):
     lora_r: int = 0
     lora_alpha: int = 16
     expansion: int = 4
+    groups: int = 1
+    base_width: int = 64
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out_ch = self.features * self.expansion
-        y = LoRAConv(self.features, (1, 1), r=self.lora_r,
+        width = int(self.features * self.base_width / 64) * self.groups
+        y = LoRAConv(width, (1, 1), r=self.lora_r,
                      alpha=self.lora_alpha, use_bias=False, name="conv1")(x)
         y = _norm(self.norm, "bn1", deterministic)(y)
         y = jax.nn.relu(y)
-        y = LoRAConv(self.features, (3, 3), (self.strides, self.strides),
-                     r=self.lora_r, alpha=self.lora_alpha, use_bias=False,
-                     name="conv2")(y)
+        if self.groups == 1:
+            y = LoRAConv(width, (3, 3), (self.strides, self.strides),
+                         r=self.lora_r, alpha=self.lora_alpha, use_bias=False,
+                         name="conv2")(y)
+        else:
+            y = nn.Conv(width, (3, 3), (self.strides, self.strides),
+                        padding=((1, 1), (1, 1)),
+                        feature_group_count=self.groups, use_bias=False,
+                        param_dtype=jnp.float32, name="conv2")(y)
         y = _norm(self.norm, "bn2", deterministic)(y)
         y = jax.nn.relu(y)
         y = LoRAConv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
@@ -92,7 +107,6 @@ class ResNet(nn.Module):
 
     block: Any = Bottleneck
     layers: Sequence[int] = (3, 4, 6, 3)
-    groups_width: Optional[Tuple[int, int]] = None   # (groups, width) resnext
     norm: str = "batch"
     lora_r: int = 0
     lora_alpha: int = 16
@@ -142,6 +156,18 @@ def ResNet152(**kw):
     return ResNet(block=Bottleneck, layers=(3, 8, 36, 3), **kw)
 
 
+def ResNeXt50(**kw):
+    """resnext50_32x4d (reference cnn_backbones.py:89-93)."""
+    block = functools.partial(Bottleneck, groups=32, base_width=4)
+    return ResNet(block=block, layers=(3, 4, 6, 3), **kw)
+
+
+def ResNeXt101(**kw):
+    """resnext101_32x8d (reference cnn_backbones.py:96-100)."""
+    block = functools.partial(Bottleneck, groups=32, base_width=8)
+    return ResNet(block=block, layers=(3, 4, 23, 3), **kw)
+
+
 class ResNetVisionTower(nn.Module):
     """ResNet path of the ImageEncoder facade (reference
     vision_encoder.py:85-104): bilinear-resize input to 299×299, run the
@@ -154,7 +180,8 @@ class ResNetVisionTower(nn.Module):
         name = self.cfg.get("model_name", "resnet_50")
         ctor = {"resnet_18": ResNet18, "resnet_34": ResNet34,
                 "resnet_50": ResNet50, "resnet_101": ResNet101,
-                "resnet_152": ResNet152}.get(name, ResNet50)
+                "resnet_152": ResNet152, "resnext_50": ResNeXt50,
+                "resnext_100": ResNeXt101}.get(name, ResNet50)
         lora_r = int(self.cfg.get("lora_r", 8)) if self.cfg.get("lora", False) \
             else 0
         backbone = ctor(norm=self.cfg.get("norm", "group"),

@@ -82,4 +82,9 @@ class ImageEncoder(nn.Module):
 
             return ResNetVisionTower(self.cfg, name="resnet")(
                 pixels, deterministic=deterministic)
+        if "densenet" in name:
+            from medmoe_tpu.models.densenet import DenseNetVisionTower
+
+            return DenseNetVisionTower(self.cfg, name="densenet")(
+                pixels, deterministic=deterministic)
         raise ValueError(f"unknown vision backbone {name!r}")
