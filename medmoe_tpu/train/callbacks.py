@@ -61,10 +61,23 @@ class ModelCheckpoint(Callback):
             save_checkpoint(self.best_path, trainer.state,
                             extra={"epoch": epoch, self.monitor: value,
                                    **loop_extra})
+            self._announce(trainer, self.best_path, "best",
+                           {"epoch": epoch, self.monitor: float(value)})
         if self.save_last:
-            save_checkpoint(os.path.join(dirpath, "last"),
-                            trainer.state,
+            last_path = os.path.join(dirpath, "last")
+            save_checkpoint(last_path, trainer.state,
                             extra={"epoch": epoch, **loop_extra})
+            self._announce(trainer, last_path, "last", {"epoch": epoch})
+
+    @staticmethod
+    def _announce(trainer, path: str, alias: str,
+                  metadata: Dict[str, Any]) -> None:
+        """Offer the saved checkpoint to artifact-capable loggers
+        (reference wandb.yaml `log_model: True` uploads Lightning ckpts)."""
+        for logger in getattr(trainer, "loggers", []) or []:
+            hook = getattr(logger, "log_checkpoint", None)
+            if hook is not None:
+                hook(path, alias=alias, metadata=metadata)
 
 
 class EarlyStopping(Callback):

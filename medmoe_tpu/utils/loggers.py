@@ -29,6 +29,11 @@ class BaseLogger:
     def log_hyperparams(self, params: Dict[str, Any]) -> None:
         pass
 
+    def log_checkpoint(self, path: str, alias: str = "last",
+                       metadata: Optional[Dict[str, Any]] = None) -> None:
+        """Checkpoint-artifact hook (reference wandb.yaml `log_model: True`
+        uploads Lightning ckpts). No-op for file-based backends."""
+
     def finalize(self) -> None:
         pass
 
@@ -200,33 +205,84 @@ def AimLogger(save_dir: str, **kw):  # noqa: N802
 
 class WandbLogger(BaseLogger):
     """Weights & Biases backend; degrades to a JSONL file if wandb is absent
-    or offline (this image has no network egress)."""
+    or offline (this image has no network egress).
 
-    def __init__(self, save_dir: str, project: str = "medmoe_tpu", group: str = "",
-                 tags: Optional[list] = None):
+    Carries the reference's full key surface (configs/logger/wandb.yaml:4-16):
+    ``offline`` forces offline mode, ``id`` resumes an existing run,
+    ``log_model`` uploads checkpoints as model artifacts via
+    :meth:`log_checkpoint` (called by the ModelCheckpoint callback)."""
+
+    def __init__(self, save_dir: str, project: str = "medmoe_tpu",
+                 group: str = "", tags: Optional[list] = None,
+                 name: Optional[str] = None, offline: bool = False,
+                 id: Optional[str] = None, anonymous: Optional[str] = None,
+                 log_model: bool = False, prefix: str = "",
+                 entity: Optional[str] = None, job_type: str = ""):
         self._run = None
+        self.log_model = bool(log_model)
+        self.prefix = prefix or ""
         self._fallback = JSONLLogger(save_dir, "wandb_fallback.jsonl")
         if not _is_main_process():
             return
         try:
             import wandb
 
+            mode = "offline" if offline \
+                else os.environ.get("WANDB_MODE", "offline")
             self._run = wandb.init(
                 project=project, group=group or None, tags=tags or [],
-                dir=save_dir, mode=os.environ.get("WANDB_MODE", "offline"),
+                name=name or None, dir=save_dir, mode=mode,
+                id=id or None, resume="must" if id else None,
+                anonymous=anonymous, entity=entity or None,
+                job_type=job_type or None,
             )
         except Exception:
             self._run = None
 
+    def _key(self, k: str) -> str:
+        return f"{self.prefix}{k}" if self.prefix else k
+
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         if self._run is not None:
-            self._run.log({k: float(v) for k, v in metrics.items()}, step=step)
+            self._run.log({self._key(k): float(v)
+                           for k, v in metrics.items()}, step=step)
         else:
             self._fallback.log_metrics(metrics, step)
 
     def log_hyperparams(self, params: Dict[str, Any]) -> None:
         if self._run is not None:
             self._run.config.update(params, allow_val_change=True)
+
+    def log_checkpoint(self, path: str, alias: str = "last",
+                       metadata: Optional[Dict[str, Any]] = None) -> None:
+        """Upload an orbax checkpoint directory as a `model` artifact
+        (reference wandb.yaml:12 `log_model: True`)."""
+        if not self.log_model:
+            return
+        if self._run is None:
+            if _is_main_process():
+                record = {"event": "checkpoint", "path": path, "alias": alias}
+                if metadata:
+                    record.update({k: (float(v) if hasattr(v, "item") else v)
+                                   for k, v in metadata.items()})
+                os.makedirs(os.path.dirname(self._fallback.path),
+                            exist_ok=True)
+                with open(self._fallback.path, "a") as f:
+                    f.write(json.dumps(record, default=str) + "\n")
+            return
+        try:
+            import wandb
+
+            artifact = wandb.Artifact(
+                name=f"model-{self._run.id}", type="model",
+                metadata=dict(metadata or {}))
+            if os.path.isdir(path):
+                artifact.add_dir(path)
+            else:
+                artifact.add_file(path)
+            self._run.log_artifact(artifact, aliases=[alias])
+        except Exception:
+            pass
 
     def finalize(self) -> None:
         if self._run is not None:
