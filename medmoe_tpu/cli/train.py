@@ -163,6 +163,21 @@ def _run_one(overrides: List[str]) -> Dict[str, float]:
     return metrics
 
 
+def _write_metrics_out(metrics: Dict[str, float]) -> Dict[str, float]:
+    """Final-metrics json contract for parent drivers: if
+    MEDMOE_METRICS_OUT names a path, write the run's metrics there (the
+    sweep subprocess launcher and external schedulers read it)."""
+    import json
+    import os
+
+    out_path = os.environ.get("MEDMOE_METRICS_OUT")
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump({k: float(v) for k, v in metrics.items()
+                       if isinstance(v, (int, float))}, f)
+    return metrics
+
+
 def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
     overrides = list(argv if argv is not None else sys.argv[1:])
     from medmoe_tpu.cli._help import maybe_print_help
@@ -182,7 +197,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
             overrides.remove(flag)
             multirun = True
     if not multirun:
-        return _run_one(overrides)
+        return _write_metrics_out(_run_one(overrides))
 
     # --multirun: one process runs the sweep jobs sequentially; a failed
     # job is logged and skipped so the multirun survives it (the reference
@@ -202,7 +217,7 @@ def main(argv: Optional[List[str]] = None) -> Dict[str, float]:
         for k, v in metrics.items():
             if isinstance(v, (int, float)):
                 out[f"job{i}/{k}"] = float(v)
-    return out
+    return _write_metrics_out(out)
 
 
 if __name__ == "__main__":

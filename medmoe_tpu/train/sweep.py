@@ -149,6 +149,34 @@ class TPESampler:
         return draw
 
 
+def _run_trial_subprocess(trial_overrides: List[str], metric: str) -> float:
+    """Run one trial as `python -m medmoe_tpu.cli.train ...` in its own OS
+    process (the reference's submitit launcher runs one SLURM job per
+    trial, configs/hydra/launcher/base_submitit_slurm.yaml). A fresh
+    process per trial releases all device memory and XLA state between
+    trials; the child reports its final metrics through the
+    MEDMOE_METRICS_OUT json contract (cli/train.py main)."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        out_path = os.path.join(td, "metrics.json")
+        env = dict(os.environ, MEDMOE_METRICS_OUT=out_path)
+        cmd = [sys.executable, "-m", "medmoe_tpu.cli.train",
+               *trial_overrides, "hparams_search=null"]
+        proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"trial subprocess exited {proc.returncode}: "
+                f"{proc.stderr[-2000:]}")
+        with open(out_path) as f:
+            metrics = json.load(f)
+    return get_metric_value(metrics, metric)
+
+
 def run_sweep(cfg: DotDict, base_overrides: List[str]) -> Dict[str, float]:
     from medmoe_tpu.cli.train import train
 
@@ -161,6 +189,7 @@ def run_sweep(cfg: DotDict, base_overrides: List[str]) -> Dict[str, float]:
     space = hs.get("params", {})
     seed = int(hs.get("seed", cfg.get("seed") or 0))
     sampler_name = str(hs.get("sampler", "tpe"))
+    launcher = str(hs.get("launcher", "in_process"))
     rng = random.Random(seed)
     tpe = TPESampler(space, seed=seed,
                      n_startup_trials=int(hs.get("n_startup_trials", 5)),
@@ -172,17 +201,23 @@ def run_sweep(cfg: DotDict, base_overrides: List[str]) -> Dict[str, float]:
     best_value = None
     best_params: Dict[str, Any] = {}
     for trial in range(n_trials):
+        # the sampler (and its history) lives in THIS process regardless of
+        # launcher — subprocess mode isolates trial execution only, so TPE
+        # state persists across trials exactly as in-process
         draw = tpe.suggest(history) if tpe is not None \
             else _sample(space, rng)
         trial_overrides = [o for o in base_overrides
                            if not o.lstrip("~+").startswith("hparams_search")]
         trial_overrides += [f"{k}={v}" for k, v in draw.items()]
-        trial_cfg = compose("train", trial_overrides)
-        trial_cfg["hparams_search"] = None
-        log.info(f"trial {trial} [{sampler_name}]: {draw}")
+        log.info(f"trial {trial} [{sampler_name}/{launcher}]: {draw}")
         try:
-            metrics, _ = train(trial_cfg)
-            value = get_metric_value(metrics, metric)
+            if launcher == "subprocess":
+                value = _run_trial_subprocess(trial_overrides, metric)
+            else:
+                trial_cfg = compose("train", trial_overrides)
+                trial_cfg["hparams_search"] = None
+                metrics, _ = train(trial_cfg)
+                value = get_metric_value(metrics, metric)
         except Exception as e:      # a failed trial must not kill the sweep
             log.warning(f"trial {trial} failed: {e!r}")
             history.append((draw, float("inf")))
