@@ -77,3 +77,34 @@ def tiny_module(**loss_kw):
     return MedMoEPretrainingModule(
         model=DotDict(dict(vision=tiny_vision(), text=tiny_text())),
         loss=tiny_loss(**loss_kw))
+
+
+def moe_params_from_ref(ref_moe, num_stages):
+    """Reference torch MoE weights (src/models/components/swin.py:82-117)
+    → medmoe_tpu MoE param tree (router MLP + stacked ExpertBank)."""
+    params = {
+        "router_fc1": {
+            "kernel": ref_moe.router[0].weight.detach().numpy().T,
+            "bias": ref_moe.router[0].bias.detach().numpy()},
+        "router_fc2": {
+            "kernel": ref_moe.router[2].weight.detach().numpy().T,
+            "bias": ref_moe.router[2].bias.detach().numpy()},
+        "experts": {},
+    }
+    bank = params["experts"]
+    for s in range(num_stages):
+        bank[f"proj_w{s}"] = np.stack([
+            e.proj_convs[s][0].weight.detach().numpy()[:, :, 0].T
+            for e in ref_moe.experts])
+        bank[f"proj_b{s}"] = np.stack([
+            e.proj_convs[s][0].bias.detach().numpy()
+            for e in ref_moe.experts])
+    bank["attn_w1"] = np.stack([
+        e.attn_proj[0].weight.detach().numpy().T for e in ref_moe.experts])
+    bank["attn_b1"] = np.stack([
+        e.attn_proj[0].bias.detach().numpy() for e in ref_moe.experts])
+    bank["attn_w2"] = np.stack([
+        e.attn_proj[2].weight.detach().numpy().T for e in ref_moe.experts])
+    bank["attn_b2"] = np.stack([
+        e.attn_proj[2].bias.detach().numpy() for e in ref_moe.experts])
+    return params

@@ -42,35 +42,10 @@ def _load_ref_text_encoder():
 class TestExpertParity:
     def _transplant(self, ref_moe, num_experts, hidden_dims, out_dim):
         """reference MoE torch weights → ExpertBank stacked params +
-        router params."""
-        params = {
-            "router_fc1": {
-                "kernel": ref_moe.router[0].weight.detach().numpy().T,
-                "bias": ref_moe.router[0].bias.detach().numpy()},
-            "router_fc2": {
-                "kernel": ref_moe.router[2].weight.detach().numpy().T,
-                "bias": ref_moe.router[2].bias.detach().numpy()},
-            "experts": {},
-        }
-        bank = params["experts"]
-        for s in range(len(hidden_dims)):
-            bank[f"proj_w{s}"] = np.stack([
-                e.proj_convs[s][0].weight.detach().numpy()[:, :, 0].T
-                for e in ref_moe.experts])
-            bank[f"proj_b{s}"] = np.stack([
-                e.proj_convs[s][0].bias.detach().numpy()
-                for e in ref_moe.experts])
-        bank["attn_w1"] = np.stack([
-            e.attn_proj[0].weight.detach().numpy().T
-            for e in ref_moe.experts])
-        bank["attn_b1"] = np.stack([
-            e.attn_proj[0].bias.detach().numpy() for e in ref_moe.experts])
-        bank["attn_w2"] = np.stack([
-            e.attn_proj[2].weight.detach().numpy().T
-            for e in ref_moe.experts])
-        bank["attn_b2"] = np.stack([
-            e.attn_proj[2].bias.detach().numpy() for e in ref_moe.experts])
-        return params
+        router params (shared helper: tests/helpers.py)."""
+        from tests.helpers import moe_params_from_ref
+
+        return moe_params_from_ref(ref_moe, len(hidden_dims))
 
     @pytest.mark.parametrize("mode", ["gather", "dense", "topk"])
     def test_moe_block_matches_reference(self, mode):
