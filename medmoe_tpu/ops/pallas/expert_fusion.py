@@ -250,22 +250,28 @@ def _bwd_kernel(idx_ref, *refs, n_scales: int, p_max: int,
     d_out = dout_ref[0]                              # [P, E] f32
 
     # ---- forward recompute (identical chain to _fwd_kernel) -------------
-    def recompute_u(s):
+    def recompute_hu(s):
         x = xs[s][0]
         w = ws[s][0]
         b = bs[s][0]
         h = jax.nn.relu(_dot(x, w, ((1,), (0,))) + b).astype(jnp.bfloat16)
         if gs[s] is None:
-            return h
-        return _dot(gs[s][...], h, ((1,), (0,))).astype(jnp.bfloat16)
+            return h, h
+        return h, _dot(gs[s][...], h, ((1,), (0,))).astype(jnp.bfloat16)
 
-    # the bf16 upsampled maps ([P, E]) and attention activations ([P, H])
-    # are kept across the two passes (~29 MB together at flagship shapes,
-    # within the 114 MB scoped-vmem limit); a>0 ⟺ pre-activation>0 so the
-    # ReLU mask needs no f32 copy
-    logits, datts, acts, umaps = [], [], [], []
+    # the bf16 projections ([P_s, E]), upsampled maps ([P, E]) and attention
+    # activations ([P, H]) are kept across the two passes (~36 MB together
+    # at flagship shapes, within the 114 MB scoped-vmem limit); h>0 ⟺
+    # pre-activation>0 and a>0 ⟺ its pre-activation>0, so neither ReLU mask
+    # needs an f32 copy or a recompute of the projection matmul (keeping h
+    # removed the per-scale h_pre recompute: −0.87 GFLOP/sample, measured
+    # round-5 A/B in docs/PERFORMANCE.md)
+    logits, datts, acts, umaps, hmaps = [], [], [], [], []
     for s in range(s_count):
-        u = recompute_u(s)
+        h, u = recompute_hu(s)
+        # identity scales: h IS u — storing it twice double-counts the
+        # buffer in Mosaic's scoped-vmem accounting (+4.6 MiB at flagship)
+        hmaps.append(None if gs[s] is None else h)
         umaps.append(u)
         a = _dot(u, w1, ((1,), (0,)))
         a = jax.nn.relu(a + b1).astype(jnp.bfloat16)
@@ -309,12 +315,26 @@ def _bwd_kernel(idx_ref, *refs, n_scales: int, p_max: int,
             d_h = d_u
         else:
             d_h = _dot(gs[s][...], du_bf, ((0,), (0,)))       # [P_s, E]
-        # proj backward
+        # proj backward: relu mask from the kept bf16 h (h = relu(h_pre)
+        # rounds every positive f32 normal to a positive bf16 — same
+        # exponent range — so h>0 reproduces the h_pre>0 mask without the
+        # projection recompute)
         x = xs[s][0]
         w = ws[s][0]
-        b = bs[s][0]
-        h_pre = _dot(x, w, ((1,), (0,))) + b
-        dz_h = jnp.where(h_pre > 0, d_h, 0.0)
+        if os.environ.get("MEDMOE_EXPERT_BWD_HKEEP", "0") == "1":
+            # round-5 A/B arm: mask from the kept bf16 h (exact — bf16
+            # shares f32's exponent range, every positive normal stays
+            # positive) instead of recomputing h_pre. Measured NEUTRAL
+            # (63.15 vs 62.9 ms full step: the recompute matmul is not on
+            # the kernel's critical path) while pushing scoped VMEM from
+            # 114 to 121.3 MiB — the recompute stays the default for the
+            # headroom; docs/PERFORMANCE.md round-5.
+            h_s = umaps[s] if hmaps[s] is None else hmaps[s]
+            dz_h = jnp.where(h_s.astype(jnp.float32) > 0, d_h, 0.0)
+        else:
+            b = bs[s][0]
+            h_pre = _dot(x, w, ((1,), (0,))) + b
+            dz_h = jnp.where(h_pre > 0, d_h, 0.0)
         dz_h_bf = dz_h.astype(jnp.bfloat16)
         dx_refs[s][0] = _dot(dz_h_bf, w, ((1,), (1,))) \
             .astype(dx_refs[s].dtype)                         # [P_s, D_s]
@@ -402,7 +422,9 @@ def _bwd_pallas(xs, wp, bp, w1, b1, w2, expert_idx, interp_mats, d_out):
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=114 * 1024 * 1024),
+            # 124 MiB: the kept non-identity h maps + their extended lifetimes
+            # push past the former 114 MiB; v5e VMEM is 128 MiB
+            vmem_limit_bytes=124 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=6 * flops_attn,
             bytes_accessed=2 * b * p_max * e * 4,

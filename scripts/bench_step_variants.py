@@ -26,6 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 ARMS = ["allbf16", "bertbf16", "nogradnorm", "vmem131072", "baseline"]
 
+# round-5 arms (both measured NEUTRAL → shipped defaults unchanged,
+# docs/PERFORMANCE.md round-5): lncompact — compact-residual custom_vjp LN
+# (MEDMOE_LN_IMPL=compact, models/layers.py); experthkeep — expert backward
+# keeps h in VMEM instead of recomputing h_pre (MEDMOE_EXPERT_BWD_HKEEP=1)
+ARMS += ["lncompact", "experthkeep"]
+
 
 def _cast_tree(tree, dtype):
     import jax
@@ -40,6 +46,10 @@ def run_arm(arm: str):
     if arm.startswith("vmem"):
         os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
                                    f" --xla_tpu_scoped_vmem_limit_kib={arm[4:]}")
+    if arm == "lncompact":
+        os.environ["MEDMOE_LN_IMPL"] = "compact"
+    if arm == "experthkeep":
+        os.environ["MEDMOE_EXPERT_BWD_HKEEP"] = "1"
     import jax
     import jax.numpy as jnp
 

@@ -313,3 +313,67 @@ class TestEmbedGather:
         assert np.all(np.isfinite(g))
         np.testing.assert_array_equal(g[1], np.ones(16, np.float32))
         assert np.all(g[[0, 2, 3]] == 0)
+
+
+class TestCompactLayerNorm:
+    """The compact-residual custom_vjp LN (MEDMOE_LN_IMPL=compact, the
+    default) must match the autodiff'd f32 flax LayerNorm — forward and
+    grads — within one rounding of the input dtype."""
+
+    def _apply(self, impl, x, monkeypatch):
+        import jax
+
+        from medmoe_tpu.models.layers import Fp32LayerNorm
+
+        monkeypatch.setenv("MEDMOE_LN_IMPL", impl)
+        mdl = Fp32LayerNorm(epsilon=1e-5)
+        params = mdl.init(jax.random.PRNGKey(0), x)["params"]
+        # non-trivial affine params so dgamma/dbeta/dx all exercise them
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.3 * np.arange(p.size, dtype=np.float32)
+            / p.size, params)
+
+        def f(params, x):
+            y = mdl.apply({"params": params}, x)
+            return jnp.sum(y.astype(jnp.float32) ** 2), y
+
+        (loss, y), grads = jax.value_and_grad(f, argnums=(0, 1),
+                                              has_aux=True)(params, x)
+        return y, grads
+
+    @pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+    def test_matches_flax_f32_layernorm(self, dtype, monkeypatch):
+        rng = np.random.RandomState(0)
+        x = jnp.asarray(rng.randn(6, 49, 96) * 2 + 0.5, jnp.dtype(dtype))
+
+        y_c, (gp_c, gx_c) = self._apply("compact", x, monkeypatch)
+        y_x, (gp_x, gx_x) = self._apply("xla", x, monkeypatch)
+
+        assert y_c.dtype == y_x.dtype == x.dtype
+        tol = 1e-6 if dtype == "float32" else 1e-2
+        np.testing.assert_allclose(np.asarray(y_c, np.float32),
+                                   np.asarray(y_x, np.float32),
+                                   rtol=tol, atol=tol)
+        for (ka, a), (kb, b) in zip(
+                jax.tree_util.tree_leaves_with_path(gp_c),
+                jax.tree_util.tree_leaves_with_path(gp_x)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=5e-4, atol=5e-4, err_msg=str(ka))
+        np.testing.assert_allclose(np.asarray(gx_c, np.float32),
+                                   np.asarray(gx_x, np.float32),
+                                   rtol=tol, atol=2 * tol)
+
+    def test_param_tree_layout_unchanged(self, monkeypatch):
+        """Both impls must expose …/LayerNorm_0/{scale,bias} (the torch
+        converter layout, models/convert.py:106)."""
+        import jax
+
+        from medmoe_tpu.models.layers import Fp32LayerNorm
+
+        x = jnp.ones((2, 8), jnp.float32)
+        trees = {}
+        for impl in ("compact", "xla"):
+            monkeypatch.setenv("MEDMOE_LN_IMPL", impl)
+            trees[impl] = jax.tree_util.tree_structure(
+                Fp32LayerNorm().init(jax.random.PRNGKey(0), x)["params"])
+        assert trees["compact"] == trees["xla"]
