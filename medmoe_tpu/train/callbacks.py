@@ -27,7 +27,8 @@ class ModelCheckpoint(Callback):
                  filename: str = "epoch_{epoch:03d}",
                  monitor: str = "val/loss", mode: str = "min",
                  save_last: bool = True, save_top_k: int = 1,
-                 auto_insert_metric_name: bool = False):
+                 auto_insert_metric_name: bool = False,
+                 async_save: bool = True):
         # Lightning semantics: null dirpath/filename fall back to defaults
         # (the config group ships them as null, reference
         # configs/callbacks/model_checkpoint.yaml); a null dirpath resolves
@@ -38,6 +39,7 @@ class ModelCheckpoint(Callback):
         self.mode = mode
         self.save_last = save_last
         self.save_top_k = save_top_k
+        self.async_save = async_save
         self.best_value = math.inf if mode == "min" else -math.inf
         self.best_path: Optional[str] = None
 
@@ -52,6 +54,12 @@ class ModelCheckpoint(Callback):
         loop_extra = getattr(trainer, "checkpoint_extra", dict)()
         dirpath = self.dirpath or os.path.join(
             getattr(trainer, "default_root_dir", "."), "checkpoints")
+        # artifact-capable loggers read the checkpoint FILES at announce
+        # time — an in-flight async write would hand them a half-written
+        # (or not-yet-renamed) directory, so those runs save blocking
+        blocking = (not self.async_save) or any(
+            getattr(lg, "log_checkpoint", None) is not None
+            for lg in getattr(trainer, "loggers", []) or [])
         value = metrics.get(self.monitor)
         if self.save_top_k != 0 and value is not None \
                 and self._is_better(float(value)):
@@ -60,14 +68,23 @@ class ModelCheckpoint(Callback):
             self.best_path = os.path.join(dirpath, name)
             save_checkpoint(self.best_path, trainer.state,
                             extra={"epoch": epoch, self.monitor: value,
-                                   **loop_extra})
+                                   **loop_extra}, blocking=blocking)
             self._announce(trainer, self.best_path, "best",
                            {"epoch": epoch, self.monitor: float(value)})
         if self.save_last:
             last_path = os.path.join(dirpath, "last")
             save_checkpoint(last_path, trainer.state,
-                            extra={"epoch": epoch, **loop_extra})
+                            extra={"epoch": epoch, **loop_extra},
+                            blocking=blocking)
             self._announce(trainer, last_path, "last", {"epoch": epoch})
+
+    def on_train_end(self, trainer) -> None:
+        """Commit any in-flight async save before fit() returns — callers
+        (trainer.test(ckpt_path=best), sweeps, process exit) may read the
+        path immediately."""
+        from medmoe_tpu.utils.checkpoint import finalize_saves
+
+        finalize_saves()
 
     @staticmethod
     def _announce(trainer, path: str, alias: str,

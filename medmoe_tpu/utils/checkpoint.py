@@ -22,9 +22,50 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
+_ASYNC_CKPT = None
+
+
+def _async_checkpointer():
+    """Process-wide orbax AsyncCheckpointer (owns one background writer
+    thread + the multihost barrier machinery — one instance per process,
+    like orbax's own guidance)."""
+    global _ASYNC_CKPT
+    if _ASYNC_CKPT is None:
+        import atexit
+
+        import orbax.checkpoint as ocp
+
+        _ASYNC_CKPT = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+        # a process exiting mid-write would leave a half-written
+        # *.orbax-checkpoint-tmp dir; Trainer.fit finalizes in on_train_end,
+        # this covers callers that drive save_checkpoint directly
+        atexit.register(finalize_saves)
+    return _ASYNC_CKPT
+
+
+def finalize_saves() -> None:
+    """Block until every in-flight async save has committed. Call before
+    process exit / before restoring a just-saved path / at preemption."""
+    if _ASYNC_CKPT is not None:
+        _ASYNC_CKPT.wait_until_finished()
+
+
 def save_checkpoint(path: str, state: Any,
-                    extra: Optional[Dict[str, Any]] = None) -> None:
+                    extra: Optional[Dict[str, Any]] = None,
+                    blocking: bool = True) -> None:
     """Save a TrainState pytree + sidecar metadata.
+
+    ``blocking=False`` uses orbax's AsyncCheckpointer (SURVEY §7 stage-1
+    plan): device→host copies happen synchronously (so the caller may
+    donate/mutate the state immediately after return — orbax's async
+    contract), the serialization + disk write rides a background thread,
+    and the NEXT save (or ``finalize_saves``) barriers on completion —
+    one in-flight save at a time, so a fast-failing epoch loop can't pile
+    up writers. Measured at full size (144M-leaf state incl. Adam moments,
+    866 MB, scripts/bench_ckpt_save.py on the v5e harness): the epoch-loop
+    stall drops 13.7 s (blocking) → 0.42 s (async call latency, the D2H
+    copy); the remaining 12.3 s of serialization + disk write ride the
+    background thread (docs/PERFORMANCE.md "Async checkpointing").
 
     EVERY process must call this under a multi-host runtime: the orbax
     save of mesh-sharded arrays is a collective (each process writes its
@@ -34,11 +75,21 @@ def save_checkpoint(path: str, state: Any,
     ``path`` is on a filesystem shared by all hosts (the usual pod
     setup), matching the reference's Lightning-on-shared-FS layout."""
     path = os.path.abspath(path)
-    ckpt = _checkpointer()
     # tx is a static field; orbax saves the pytree leaves only
-    ckpt.save(path, {"step": state.step, "params": state.params,
-                     "opt_state": state.opt_state}, force=True)
-    ckpt.wait_until_finished()
+    tree = {"step": state.step, "params": state.params,
+            "opt_state": state.opt_state}
+    if blocking:
+        finalize_saves()    # a preempt save may target the same "last"
+                            # path an async epoch save is still writing
+        ckpt = _checkpointer()
+        ckpt.save(path, tree, force=True)
+        ckpt.wait_until_finished()
+    else:
+        import orbax.checkpoint as ocp
+
+        ckpt = _async_checkpointer()
+        ckpt.wait_until_finished()        # barrier on the previous save
+        ckpt.save(path, args=ocp.args.StandardSave(tree), force=True)
     if extra and jax.process_index() == 0:
         with open(path + ".meta.json", "w") as f:
             json.dump({k: (float(v) if hasattr(v, "item") else v)
@@ -56,6 +107,7 @@ def restore_checkpoint(path: str, state: Any) -> Any:
     ~100 steps) instead of refusing the checkpoint outright; a warning
     says so."""
     path = os.path.abspath(path)
+    finalize_saves()          # the path may still be an in-flight async save
     ckpt = _checkpointer()
     target = {"step": state.step, "params": state.params,
               "opt_state": state.opt_state}
@@ -145,6 +197,7 @@ def load_params(path: str, params_template: Optional[Any] = None) -> Any:
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
+    finalize_saves()          # the path may still be an in-flight async save
     raw = ocp.PyTreeCheckpointer().restore(path)
     params = raw.get("params", raw)
     if params_template is not None:

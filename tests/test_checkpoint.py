@@ -76,3 +76,65 @@ class TestRestoreFallback:
         live = TrainState.create(_params(), _masked_tx())
         with pytest.raises(Exception):
             restore_checkpoint(str(tmp_path / "nonexistent"), live)
+
+
+class TestAsyncSave:
+    def test_async_save_restores_identically(self, tmp_path):
+        """blocking=False (orbax AsyncCheckpointer) must produce a
+        checkpoint byte-equivalent to the blocking path: same restored
+        params/opt_state/step; restore on a just-saved path barriers on
+        the in-flight write (finalize inside restore_checkpoint)."""
+        state = TrainState.create(_params(), _masked_tx())
+        state = state.replace(step=jnp.asarray(5, jnp.int32))
+
+        save_checkpoint(str(tmp_path / "sync"), state,
+                        extra={"epoch": 2}, blocking=True)
+        save_checkpoint(str(tmp_path / "async"), state,
+                        extra={"epoch": 2}, blocking=False)
+        # NO explicit finalize: restore must do the barrier itself
+        fresh = TrainState.create(
+            jax.tree_util.tree_map(jnp.zeros_like, _params()), _masked_tx())
+        r_sync = restore_checkpoint(str(tmp_path / "sync"), fresh)
+        r_async = restore_checkpoint(str(tmp_path / "async"), fresh)
+        assert int(r_async.step) == 5
+        for a, b in zip(jax.tree_util.tree_leaves(r_sync),
+                        jax.tree_util.tree_leaves(r_async)):
+            if hasattr(a, "shape"):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        import json
+        import os
+
+        assert os.path.exists(str(tmp_path / "async") + ".meta.json")
+        with open(str(tmp_path / "async") + ".meta.json") as f:
+            assert json.load(f)["epoch"] == 2
+
+    def test_mutating_state_after_async_save_is_safe(self, tmp_path):
+        """Orbax's async contract: D2H copies happen before save() returns,
+        so the caller may donate/overwrite the live arrays immediately —
+        the on-disk values must be the PRE-mutation ones."""
+        from medmoe_tpu.utils.checkpoint import finalize_saves
+
+        state = TrainState.create(_params(), _masked_tx())
+        before = np.asarray(state.params["enc"]["w"]).copy()
+        save_checkpoint(str(tmp_path / "ck"), state, blocking=False)
+        # overwrite the live buffers while the write may be in flight
+        state = state.replace(params=jax.tree_util.tree_map(
+            lambda x: x * 0 - 1, state.params))
+        finalize_saves()
+        fresh = TrainState.create(
+            jax.tree_util.tree_map(jnp.zeros_like, _params()), _masked_tx())
+        restored = restore_checkpoint(str(tmp_path / "ck"), fresh)
+        np.testing.assert_array_equal(
+            np.asarray(restored.params["enc"]["w"]), before)
+
+    def test_back_to_back_async_saves_barrier(self, tmp_path):
+        """The second async save must wait for the first (one in-flight
+        save at a time); both paths restore correctly."""
+        s1 = TrainState.create(_params(), _masked_tx())
+        s2 = s1.replace(step=jnp.asarray(9, jnp.int32))
+        save_checkpoint(str(tmp_path / "a"), s1, blocking=False)
+        save_checkpoint(str(tmp_path / "b"), s2, blocking=False)
+        fresh = TrainState.create(
+            jax.tree_util.tree_map(jnp.zeros_like, _params()), _masked_tx())
+        assert int(restore_checkpoint(str(tmp_path / "a"), fresh).step) == 0
+        assert int(restore_checkpoint(str(tmp_path / "b"), fresh).step) == 9

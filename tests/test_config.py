@@ -246,6 +246,9 @@ def test_model_checkpoint_null_paths_get_defaults():
         trainer = _FakeTrainer()
         trainer.default_root_dir = root
         cb.on_epoch_end(trainer, epoch=0, metrics={"val/loss": 1.0})
+        # commit the async saves before the tempdir goes away (Trainer.fit
+        # does this in on_train_end; manual callers must too)
+        cb.on_train_end(trainer)
         assert cb.best_path == os.path.join(root, "checkpoints", "epoch_000")
         assert os.path.isdir(cb.best_path)
 
