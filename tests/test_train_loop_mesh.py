@@ -215,3 +215,32 @@ class TestSoftLabelFit:
         leaf = jax.tree_util.tree_leaves(tool)[0]
         assert isinstance(leaf.sharding, jax.sharding.NamedSharding)
         assert leaf.sharding.mesh.devices.size == 8
+
+
+class TestGloria256Fit:
+    def test_gloria256_composes_and_fits_at_batch_256(self, tmp_path):
+        """experiment=gloria256 (VERDICT round-4 directive #4): monolithic
+        B=256 with FULL global negatives — the regime where the GLoRIA
+        Pallas kernels auto-select on TPU — composes and runs Trainer.fit
+        end to end on the 8-device mesh at that batch."""
+        t = _fit(tmp_path, "gloria256",
+                 ["trainer=ddp", "trainer.devices=8", "trainer.max_epochs=1",
+                  "data.batch_size=256", "data.num_samples=512",
+                  "trainer.accumulate_grad_batches=1",
+                  "trainer.num_sanity_val_steps=0",
+                  "trainer.limit_val_batches=1"])
+        assert len(t.metrics_history) == 1
+        assert np.isfinite(t.metrics_history[0]["train/loss"])
+        # full-batch negatives: global_negatives=true collapsed block_size
+        assert t.module.block_size is None
+        # ...and at this per-device batch the auto-select picks the Pallas
+        # kernel on TPU (CPU tests take the XLA path; the TPU decision is
+        # the pure function below — benched in BENCH legs gloria256_*)
+        assert t.module.local_loss._resolve_impl("sum", 256) in (
+            "pallas", "xla")
+        import unittest.mock as mock
+
+        fake_tpu = mock.MagicMock()
+        fake_tpu.platform = "tpu"
+        with mock.patch("jax.devices", return_value=[fake_tpu]):
+            assert t.module.local_loss._resolve_impl("sum", 256) == "pallas"
