@@ -32,7 +32,12 @@ baseline derivation"; the same arithmetic is recomputed from components
 below and echoed in the ``baseline_method`` output field.
 
 Env knobs: MEDMOE_BENCH_MODE=compute|e2e|both (default both),
-MEDMOE_BENCH_E2E_STEPS (default 12), MEDMOE_BENCH_TINY=1 (tiny shapes).
+MEDMOE_BENCH_E2E_STEPS (default 12), MEDMOE_BENCH_TINY=1 (tiny shapes),
+MEDMOE_BENCH_DEADLINE_S (default 3300; <=0 disables): a watchdog that, if
+the run exceeds the deadline — the harness tunnel has been observed to hang
+indefinitely on a single RPC — still prints ONE JSON line with every leg
+that completed plus a note naming the leg that was in flight, so a driver
+run never ends with no output at all.
 
 NOTE on this harness: the TPU is reached over a network tunnel whose
 host→device bandwidth (measured by the ``transfer_value`` leg: ~35-47 MB/s,
@@ -45,6 +50,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
@@ -81,6 +87,52 @@ PEAK_FLOPS = {
     "TPU v5p": 459e12,
     "TPU v6 lite": 918e12,      # v6e / Trillium
 }
+
+
+# --- deadline watchdog -----------------------------------------------------
+# The harness tunnel has been observed to hang indefinitely on a single RPC
+# (a device_put or value fetch that never returns). Python cannot interrupt a
+# thread blocked inside an extension call, so a per-leg timeout is not
+# implementable; instead legs record their results into _PARTIAL as they
+# complete and a daemon timer prints whatever exists if the whole run
+# overshoots MEDMOE_BENCH_DEADLINE_S — the driver always gets its one JSON
+# line, with the hung leg named.
+_PARTIAL: dict = {}
+_STAGE = ["startup"]
+_WATCHDOG: list = []
+
+
+def _watchdog_start() -> None:
+    deadline = float(os.environ.get("MEDMOE_BENCH_DEADLINE_S", "3300"))
+    if deadline <= 0:
+        return
+
+    def _fire():
+        out = dict(_PARTIAL)
+        pairs = out.get("ddp_value") or out.get("b32_value") or 0.0
+        out.setdefault(
+            "metric",
+            "pretraining image-text pairs/sec/chip (PARTIAL: deadline hit)")
+        out["value"] = round(pairs, 2)
+        out.setdefault("unit", "pairs/sec/chip")
+        out["vs_baseline"] = round(pairs / REF_PAIRS_PER_SEC_PER_GPU, 3)
+        out["baseline_method"] = BASELINE_METHOD
+        out["deadline_note"] = (
+            f"MEDMOE_BENCH_DEADLINE_S={deadline:.0f} expired during leg "
+            f"'{_STAGE[0]}' (this harness's tunnel can hang indefinitely "
+            "on one RPC); reporting the legs that completed")
+        print(json.dumps(out), flush=True)
+        os._exit(0 if pairs else 2)
+
+    t = threading.Timer(deadline, _fire)
+    t.daemon = True
+    t.start()
+    _WATCHDOG.append(t)
+
+
+def _watchdog_cancel() -> None:
+    for t in _WATCHDOG:
+        t.cancel()
 
 
 def _setup(experiment: str = "pretraining_medmoe", batch: int = BATCH,
@@ -465,6 +517,7 @@ def measure_fit(global_batch: int, n_chips: int,
 def main() -> None:
     mode = os.environ.get("MEDMOE_BENCH_MODE", "both")
     tiny = bool(int(os.environ.get("MEDMOE_BENCH_TINY", "0")))
+    _watchdog_start()
 
     # persistent compile cache: repeat bench runs skip the minutes-long
     # full-size compiles (burst timing is post-compile, so measured
@@ -475,19 +528,27 @@ def main() -> None:
 
     # --- leg 1: B=32/chip, full-batch global negatives (round-2 headline);
     #     the e2e/host legs ride this setup (per-chip reference batch) -----
+    _STAGE[0] = "setup+compile (b32)"
     module, cfg, mesh, state, step, batch, gb32, n_chips = _setup()
+    _STAGE[0] = "compute (b32)"
     b32_pairs, b32_time, state = measure_compute(state, step, batch,
                                                  gb32, n_chips)
     b32_mfu, b32_flops = measure_mfu(state, step, batch, b32_time, n_chips)
+    _PARTIAL["b32_value"] = round(b32_pairs, 2)
+    if b32_mfu is not None:
+        _PARTIAL["b32_mfu_pct"] = round(b32_mfu, 2)
 
     # --- serving leg: zero-shot encode_image throughput ------------------
     # BEFORE the e2e leg: its steps donate `state` without returning the
     # updated one, so state.params is deleted afterwards
     infer = None
     infer_note = None
+    _STAGE[0] = "inference (serving)"
     try:
         infer = measure_inference(module, cfg, state.params, n_chips,
                                   mesh=mesh)
+        if infer is not None:
+            _PARTIAL["infer_value"] = round(infer, 2)
     except Exception as exc:
         infer_note = f"inference leg failed: {type(exc).__name__}: {exc}"
 
@@ -495,12 +556,20 @@ def main() -> None:
     host = None
     transfer = None
     if mode in ("both", "e2e"):
+        _STAGE[0] = "transfer (host->device)"
         try:
             transfer = measure_transfer(cfg, gb32, n_chips, mesh=mesh)
+            _PARTIAL["transfer_value"] = round(transfer["pairs_per_sec"], 2)
         except Exception:
             transfer = None
+        _STAGE[0] = "e2e (tar->step)"
         e2e = measure_e2e(module, cfg, mesh, state, step, gb32, n_chips)
+        if e2e is not None:
+            _PARTIAL["e2e_value"] = round(e2e, 2)
+        _STAGE[0] = "host pipeline"
         host = measure_host_pipeline(cfg, gb32)
+        if host is not None:
+            _PARTIAL["host_pipeline_value"] = round(host, 2)
     del state, step, batch          # release HBM before the big-batch leg
 
     # --- leg 2 (headline): the reference's full 8-GPU DDP global batch
@@ -511,14 +580,19 @@ def main() -> None:
     #     HBM ceiling: 391.9 pairs/s vs 550.6 for the scan form) ----------
     ddp_pairs = ddp_mfu = ddp_flops = None
     ddp_note = None
+    _STAGE[0] = "setup+compile (ddp-parity)"
     try:
         _, _, _, state2, step2, batch2, gb_ddp, _ = _setup(
             experiment="pretraining_medmoe_ddp", batch=BATCH,
             accum=DDP_BATCH // BATCH)
+        _STAGE[0] = "compute (ddp-parity)"
         ddp_pairs, ddp_time, state2 = measure_compute(state2, step2, batch2,
                                                       gb_ddp, n_chips)
         ddp_mfu, ddp_flops = measure_mfu(state2, step2, batch2, ddp_time,
                                          n_chips, accum=DDP_BATCH // BATCH)
+        _PARTIAL["ddp_value"] = round(ddp_pairs, 2)
+        if ddp_mfu is not None:
+            _PARTIAL["mfu_pct"] = round(ddp_mfu, 2)
         del state2, step2, batch2
     except Exception as exc:        # OOM etc: report the B=32 leg, not crash
         ddp_note = f"ddp-parity leg failed: {type(exc).__name__}: {exc}"
@@ -527,9 +601,12 @@ def main() -> None:
     #     negatives) — Pallas kernels vs XLA, end to end ------------------
     gloria = None
     gloria_note = None
+    _STAGE[0] = "gloria256 (kernel regime)"
     if not tiny:
         try:
             gloria = measure_gloria_monolithic(n_chips)
+            if gloria:
+                _PARTIAL["gloria256_kernel_value"] = gloria.get("pallas")
         except Exception as exc:
             gloria_note = (f"gloria-256 leg failed: "
                            f"{type(exc).__name__}: {exc}")
@@ -538,6 +615,7 @@ def main() -> None:
     fit = None
     fit_note = None
     fit_experiment = "pretraining_medmoe_ddp"
+    _STAGE[0] = "Trainer.fit"
     try:
         fit = measure_fit((4 if tiny else BATCH) * n_chips, n_chips,
                           accum=DDP_BATCH // BATCH)
@@ -638,6 +716,7 @@ def main() -> None:
     elif flops is not None:
         out["mfu_note"] = ("XLA cost-analysis flops exceed device peak on "
                            "this backend; MFU omitted as unreliable")
+    _watchdog_cancel()
     print(json.dumps(out))
 
 
