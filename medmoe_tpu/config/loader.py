@@ -15,6 +15,14 @@ Supported subset (everything the reference configs actually use):
   * CLI-style overrides: ``group=option`` swaps a defaults-group selection,
     ``a.b.c=value`` sets a leaf, ``+a.b=v`` adds a new key, ``~a.b`` deletes.
   * ``${a.b.c}`` interpolation resolved after the final merge.
+  * ``${now:%Y-%m-%d}`` timestamp resolver (hydra's run-dir templating,
+    reference ``configs/hydra/default.yaml:10-13``). The stamp is captured
+    once per compose() so every occurrence in one config agrees, and honors
+    ``MEDMOE_RUN_STAMP`` (unix seconds) so multi-process SPMD runs — whose
+    collective checkpoint saves require a byte-identical output_dir on every
+    process — can pin a shared value. The DEFAULT paths config stays
+    untimestamped for that same reason (documented divergence, PARITY.md);
+    opt in via ``configs/local`` or a ``paths.output_dir=...`` override.
 """
 
 from __future__ import annotations
@@ -234,9 +242,22 @@ def _compose_file(
     return result
 
 
+def _run_stamp() -> "datetime.datetime":
+    """The timestamp ``${now:...}`` resolves against. ``MEDMOE_RUN_STAMP``
+    (unix seconds) pins it — required for multi-process SPMD runs where the
+    collective orbax save needs every process to agree on output_dir."""
+    import datetime
+
+    pinned = os.environ.get("MEDMOE_RUN_STAMP")
+    if pinned:
+        return datetime.datetime.fromtimestamp(float(pinned))
+    return datetime.datetime.now()
+
+
 def resolve_interpolations(cfg: DotDict, root: Optional[DotDict] = None) -> DotDict:
     """Resolve ``${a.b}`` references against the root config, in place."""
     root = root if root is not None else cfg
+    stamp = _run_stamp()     # once per resolve: all ${now:} in one config agree
 
     def resolve_str(s: str, depth: int = 0) -> Any:
         if depth > 10:
@@ -247,6 +268,8 @@ def resolve_interpolations(cfg: DotDict, root: Optional[DotDict] = None) -> DotD
             if ref.startswith("env:"):
                 parts = ref[4:].split(",", 1)
                 return os.environ.get(parts[0], parts[1] if len(parts) > 1 else None)
+            if ref.startswith("now:"):
+                return stamp.strftime(ref[4:])
             val = root.select(ref)
             if isinstance(val, str):
                 return resolve_str(val, depth + 1)
@@ -257,6 +280,8 @@ def resolve_interpolations(cfg: DotDict, root: Optional[DotDict] = None) -> DotD
             if ref.startswith("env:"):
                 parts = ref[4:].split(",", 1)
                 return str(os.environ.get(parts[0], parts[1] if len(parts) > 1 else ""))
+            if ref.startswith("now:"):
+                return stamp.strftime(ref[4:])
             val = root.select(ref)
             if isinstance(val, str) and _INTERP_RE.search(val):
                 val = resolve_str(val, depth + 1)

@@ -81,6 +81,34 @@ def test_interpolation():
     assert cfg.trainer.default_root_dir.endswith("logs/train/runs")
 
 
+def test_now_resolver(monkeypatch):
+    """${now:FMT} — hydra's run-dir templating (reference
+    configs/hydra/default.yaml:10-13). Off in the default paths config
+    (SPMD collective saves need identical dirs on every process); opt-in
+    via override/local overlay, pinnable with MEDMOE_RUN_STAMP."""
+    ov = ("paths.output_dir="
+          "${paths.log_dir}/${task_name}/runs/${now:%Y-%m-%d}_${now:%H-%M-%S}")
+    monkeypatch.setenv("MEDMOE_RUN_STAMP", "1787300000")  # pinned stamp
+    cfg = compose("train", ["experiment=pretraining_medmoe", ov])
+    import datetime
+
+    expect = datetime.datetime.fromtimestamp(1787300000)
+    suffix = expect.strftime("logs/train/runs/%Y-%m-%d_%H-%M-%S")
+    assert cfg.paths.output_dir.endswith(suffix)
+    # every occurrence in one compose resolves to the same instant, and the
+    # pinned stamp makes a second compose byte-identical (multi-process)
+    cfg2 = compose("train", ["experiment=pretraining_medmoe", ov])
+    assert cfg2.paths.output_dir == cfg.paths.output_dir
+    # downstream interpolation consumers pick the templated dir up
+    assert cfg.trainer.default_root_dir == cfg.paths.output_dir
+
+    # unpinned: still a valid strftime expansion, no literal '${'
+    monkeypatch.delenv("MEDMOE_RUN_STAMP")
+    cfg3 = compose("train", ["experiment=pretraining_medmoe", ov])
+    assert "${" not in cfg3.paths.output_dir
+    assert "_" in cfg3.paths.output_dir.rsplit("/", 1)[-1]
+
+
 def test_logger_null():
     cfg = compose("train", ["experiment=pretraining_medmoe", "logger=null"])
     assert cfg.get("logger") is None
