@@ -1,0 +1,78 @@
+"""bench.py deadline watchdog: the driver runs `python bench.py` and parses
+exactly one JSON line. The harness tunnel has been observed to hang
+indefinitely on a single RPC, so a watchdog prints whatever legs completed
+(plus the in-flight leg's name) when MEDMOE_BENCH_DEADLINE_S expires.
+These tests drive the watchdog machinery directly (no device work)."""
+
+import json
+import sys
+import time
+
+import pytest
+
+
+@pytest.fixture()
+def bench_mod(monkeypatch):
+    sys.path.insert(0, __file__.rsplit("/tests/", 1)[0])
+    import bench
+
+    # isolate module-level state between tests
+    monkeypatch.setattr(bench, "_PARTIAL", {})
+    monkeypatch.setattr(bench, "_STAGE", ["startup"])
+    monkeypatch.setattr(bench, "_WATCHDOG", [])
+    return bench
+
+
+def test_fire_emits_partial_json(bench_mod, monkeypatch, capsys):
+    bench = bench_mod
+    monkeypatch.setenv("MEDMOE_BENCH_DEADLINE_S", "0.05")
+    bench._PARTIAL["b32_value"] = 123.0
+    bench._PARTIAL["ddp_value"] = 456.0
+    bench._STAGE[0] = "unit-test leg"
+    exits = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
+    bench._watchdog_start()
+    deadline = time.time() + 5.0
+    while not exits and time.time() < deadline:
+        time.sleep(0.02)
+    assert exits == [0]     # legs existed -> success exit
+    out = capsys.readouterr().out.strip()
+    parsed = json.loads(out)            # exactly one parseable JSON line
+    assert parsed["value"] == 456.0     # headline prefers the ddp leg
+    assert parsed["unit"] == "pairs/sec/chip"
+    assert parsed["b32_value"] == 123.0
+    assert "vs_baseline" in parsed and "baseline_method" in parsed
+    assert "unit-test leg" in parsed["deadline_note"]
+
+
+def test_fire_with_no_legs_exits_nonzero(bench_mod, monkeypatch, capsys):
+    bench = bench_mod
+    monkeypatch.setenv("MEDMOE_BENCH_DEADLINE_S", "0.05")
+    exits = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
+    bench._watchdog_start()
+    deadline = time.time() + 5.0
+    while not exits and time.time() < deadline:
+        time.sleep(0.02)
+    assert exits == [2]     # nothing measured -> failure exit
+    parsed = json.loads(capsys.readouterr().out.strip())
+    assert parsed["value"] == 0.0
+
+
+def test_cancel_suppresses_fire(bench_mod, monkeypatch, capsys):
+    bench = bench_mod
+    monkeypatch.setenv("MEDMOE_BENCH_DEADLINE_S", "0.1")
+    exits = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
+    bench._watchdog_start()
+    bench._watchdog_cancel()
+    time.sleep(0.3)
+    assert exits == []
+    assert capsys.readouterr().out == ""
+
+
+def test_disabled_by_nonpositive_deadline(bench_mod, monkeypatch):
+    bench = bench_mod
+    monkeypatch.setenv("MEDMOE_BENCH_DEADLINE_S", "0")
+    bench._watchdog_start()
+    assert bench._WATCHDOG == []
