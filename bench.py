@@ -33,7 +33,7 @@ below and echoed in the ``baseline_method`` output field.
 
 Env knobs: MEDMOE_BENCH_MODE=compute|e2e|both (default both),
 MEDMOE_BENCH_E2E_STEPS (default 12), MEDMOE_BENCH_TINY=1 (tiny shapes),
-MEDMOE_BENCH_DEADLINE_S (default 3300; <=0 disables): a watchdog that, if
+MEDMOE_BENCH_DEADLINE_S (default 5400; <=0 disables): a watchdog that, if
 the run exceeds the deadline — the harness tunnel has been observed to hang
 indefinitely on a single RPC — still prints ONE JSON line with every leg
 that completed plus a note naming the leg that was in flight, so a driver
@@ -103,7 +103,10 @@ _WATCHDOG: list = []
 
 
 def _watchdog_start() -> None:
-    deadline = float(os.environ.get("MEDMOE_BENCH_DEADLINE_S", "3300"))
+    # 90 min: comfortably above any observed healthy run (warm-cache full
+    # bench ≈ 20-30 min; cold compiles add minutes per leg) — this guards
+    # against indefinite RPC hangs, not slow runs
+    deadline = float(os.environ.get("MEDMOE_BENCH_DEADLINE_S", "5400"))
     if deadline <= 0:
         return
 
