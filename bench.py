@@ -99,6 +99,21 @@ PEAK_FLOPS = {
 # line, with the hung leg named.
 _PARTIAL: dict = {}
 _STAGE = ["startup"]
+_EMIT_LOCK = threading.Lock()
+_EMITTED = [False]
+
+
+def _emit_once(payload: dict) -> bool:
+    """Print the ONE JSON line, exactly once per process — both the
+    deadline watchdog and main()'s final print route through this, so a
+    run finishing right at the deadline cannot produce two lines (or a
+    final line truncated by the watchdog's os._exit)."""
+    with _EMIT_LOCK:
+        if _EMITTED[0]:
+            return False
+        _EMITTED[0] = True
+        print(json.dumps(payload), flush=True)
+        return True
 _WATCHDOG: list = []
 
 
@@ -124,7 +139,8 @@ def _watchdog_start() -> None:
             f"MEDMOE_BENCH_DEADLINE_S={deadline:.0f} expired during leg "
             f"'{_STAGE[0]}' (this harness's tunnel can hang indefinitely "
             "on one RPC); reporting the legs that completed")
-        print(json.dumps(out), flush=True)
+        if not _emit_once(out):
+            return                     # main() already printed the real line
         os._exit(0 if pairs else 2)
 
     t = threading.Timer(deadline, _fire)
@@ -558,13 +574,16 @@ def main() -> None:
     e2e = None
     host = None
     transfer = None
+    transfer_fail = None
     if mode in ("both", "e2e"):
         _STAGE[0] = "transfer (host->device)"
         try:
             transfer = measure_transfer(cfg, gb32, n_chips, mesh=mesh)
             _PARTIAL["transfer_value"] = round(transfer["pairs_per_sec"], 2)
-        except Exception:
+        except Exception as exc:
             transfer = None
+            transfer_fail = (f"transfer leg failed: "
+                             f"{type(exc).__name__}: {exc}")
         _STAGE[0] = "e2e (tar->step)"
         e2e = measure_e2e(module, cfg, mesh, state, step, gb32, n_chips)
         if e2e is not None:
@@ -686,6 +705,8 @@ def main() -> None:
                              "path), device-resident inputs")
     elif infer_note:
         out["infer_note"] = infer_note
+    if transfer_fail:
+        out["transfer_note"] = transfer_fail
     if transfer is not None:
         out["transfer_value"] = round(transfer["pairs_per_sec"], 2)
         out["transfer_mb_per_sec"] = round(transfer["mb_per_sec"], 1)
@@ -720,7 +741,7 @@ def main() -> None:
         out["mfu_note"] = ("XLA cost-analysis flops exceed device peak on "
                            "this backend; MFU omitted as unreliable")
     _watchdog_cancel()
-    print(json.dumps(out))
+    _emit_once(out)
 
 
 if __name__ == "__main__":

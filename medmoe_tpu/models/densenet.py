@@ -9,8 +9,10 @@ Each dense layer is norm-relu-conv1x1(bn_size*k) -> norm-relu-conv3x3(k),
 concatenated onto the running feature map.
 
 TPU notes: NHWC layout; concat-heavy graphs are XLA-friendly (pure fusion
-fodder), and all channel counts on every config are multiples of 32 so the
-stateless GroupNorm(32) option composes like the ResNet family's.
+fodder). The stateless 'group' norm option adapts its group count to the
+running channel width (``gcd(32, C)`` — see resnet._norm): DenseNet-121/169
+widths are all multiples of 32 (plain GroupNorm(32)), while DenseNet-161's
+growth-48 maps (144, 240, …) land on 16 groups.
 """
 
 from __future__ import annotations
@@ -31,11 +33,13 @@ class DenseLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = _norm(self.norm, "norm1", deterministic)(x)
+        y = _norm(self.norm, "norm1", deterministic,
+                  channels=x.shape[-1])(x)
         y = jax.nn.relu(y)
         y = nn.Conv(self.bn_size * self.growth_rate, (1, 1), use_bias=False,
                     param_dtype=jnp.float32, name="conv1")(y)
-        y = _norm(self.norm, "norm2", deterministic)(y)
+        y = _norm(self.norm, "norm2", deterministic,
+                  channels=y.shape[-1])(y)
         y = jax.nn.relu(y)
         y = nn.Conv(self.growth_rate, (3, 3), padding=((1, 1), (1, 1)),
                     use_bias=False, param_dtype=jnp.float32, name="conv2")(y)
@@ -48,7 +52,8 @@ class Transition(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        y = _norm(self.norm, "norm", deterministic)(x)
+        y = _norm(self.norm, "norm", deterministic,
+                  channels=x.shape[-1])(x)
         y = jax.nn.relu(y)
         y = nn.Conv(self.features, (1, 1), use_bias=False,
                     param_dtype=jnp.float32, name="conv")(y)
@@ -71,7 +76,8 @@ class DenseNet(nn.Module):
         y = nn.Conv(self.init_features, (7, 7), (2, 2),
                     padding=((3, 3), (3, 3)), use_bias=False,
                     param_dtype=jnp.float32, name="conv0")(x)
-        y = _norm(self.norm, "norm0", deterministic)(y)
+        y = _norm(self.norm, "norm0", deterministic,
+                  channels=y.shape[-1])(y)
         y = jax.nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -88,7 +94,8 @@ class DenseNet(nn.Module):
                                name=f"transition{i + 1}")(
                     y, deterministic=deterministic)
 
-        y = _norm(self.norm, "norm_final", deterministic)(y)
+        y = _norm(self.norm, "norm_final", deterministic,
+                  channels=y.shape[-1])(y)
         y = jax.nn.relu(y)
         global_feat = jnp.mean(y, axis=(1, 2))
         return global_feat, local.transpose(0, 3, 1, 2)

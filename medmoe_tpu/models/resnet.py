@@ -22,12 +22,23 @@ from flax import linen as nn
 from medmoe_tpu.models.lora import LoRAConv
 
 
-def _norm(norm: str, name: str, use_running_average: bool = True):
+def _norm(norm: str, name: str, use_running_average: bool = True,
+          channels: int | None = None):
+    """Norm-layer factory. 'group' adapts its group count to the channel
+    width — ``gcd(32, channels)`` — so widths that 32 does not divide
+    (DenseNet-161's growth-48 maps: 144, 240, …) still compose; every
+    ResNet/DenseNet-121/169 width is a multiple of 32, where this is
+    exactly GroupNorm(32). The group count never changes the param tree
+    (scale/bias are per-channel), so checkpoints are unaffected."""
     if norm == "batch":
         return nn.BatchNorm(use_running_average=use_running_average,
                             momentum=0.9, epsilon=1e-5,
                             param_dtype=jnp.float32, name=name)
-    return nn.GroupNorm(num_groups=32, param_dtype=jnp.float32, name=name)
+    import math
+
+    groups = 32 if channels is None else math.gcd(32, int(channels))
+    return nn.GroupNorm(num_groups=groups, param_dtype=jnp.float32,
+                        name=name)
 
 
 class BasicBlock(nn.Module):

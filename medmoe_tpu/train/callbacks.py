@@ -19,6 +19,28 @@ class Callback:
         return False
 
 
+def _reads_checkpoint_files(logger) -> bool:
+    """True only for loggers that will actually READ the checkpoint files
+    at announce time (e.g. WandbLogger with ``log_model`` enabled).
+
+    Every logger inherits a no-op ``log_checkpoint`` from BaseLogger, so
+    "has the attribute" is not the test — that would force every default
+    ``logger=csv`` run back to blocking saves and silently disable the
+    async path. The hook must be an OVERRIDE, and (when the logger exposes
+    the knob) ``log_model`` must be on."""
+    hook = getattr(type(logger), "log_checkpoint", None)
+    if hook is None:
+        return False
+    try:
+        from medmoe_tpu.utils.loggers import BaseLogger
+
+        if hook is BaseLogger.log_checkpoint:
+            return False
+    except Exception:
+        pass
+    return bool(getattr(logger, "log_model", True))
+
+
 class ModelCheckpoint(Callback):
     """Monitors a metric, keeps best + last orbax checkpoints
     (reference ModelCheckpoint: monitor val/loss, save_last, top-1)."""
@@ -58,7 +80,7 @@ class ModelCheckpoint(Callback):
         # time — an in-flight async write would hand them a half-written
         # (or not-yet-renamed) directory, so those runs save blocking
         blocking = (not self.async_save) or any(
-            getattr(lg, "log_checkpoint", None) is not None
+            _reads_checkpoint_files(lg)
             for lg in getattr(trainer, "loggers", []) or [])
         value = metrics.get(self.monitor)
         if self.save_top_k != 0 and value is not None \

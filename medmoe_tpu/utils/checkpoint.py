@@ -43,11 +43,32 @@ def _async_checkpointer():
     return _ASYNC_CKPT
 
 
+#: sidecar writes deferred until their checkpoint's async write commits —
+#: a sidecar must never point at a not-yet-committed checkpoint (a crash in
+#: the ~12 s background-write window would otherwise leave valid-looking
+#: epoch metadata next to a missing/tmp checkpoint dir)
+_PENDING_META: list = []
+
+
+def _write_meta(path: str, extra: Dict[str, Any]) -> None:
+    with open(path + ".meta.json", "w") as f:
+        json.dump({k: (float(v) if hasattr(v, "item") else v)
+                   for k, v in extra.items()}, f)
+
+
+def _flush_pending_meta() -> None:
+    while _PENDING_META:
+        path, extra = _PENDING_META.pop(0)
+        _write_meta(path, extra)
+
+
 def finalize_saves() -> None:
-    """Block until every in-flight async save has committed. Call before
-    process exit / before restoring a just-saved path / at preemption."""
+    """Block until every in-flight async save has committed (then write
+    any sidecars that were waiting on that commit). Call before process
+    exit / before restoring a just-saved path / at preemption."""
     if _ASYNC_CKPT is not None:
         _ASYNC_CKPT.wait_until_finished()
+    _flush_pending_meta()
 
 
 def save_checkpoint(path: str, state: Any,
@@ -84,16 +105,20 @@ def save_checkpoint(path: str, state: Any,
         ckpt = _checkpointer()
         ckpt.save(path, tree, force=True)
         ckpt.wait_until_finished()
+        if extra and jax.process_index() == 0:
+            _write_meta(path, extra)      # data committed — sidecar is safe
     else:
         import orbax.checkpoint as ocp
 
         ckpt = _async_checkpointer()
         ckpt.wait_until_finished()        # barrier on the previous save
+        _flush_pending_meta()             # previous save just committed
         ckpt.save(path, args=ocp.args.StandardSave(tree), force=True)
-    if extra and jax.process_index() == 0:
-        with open(path + ".meta.json", "w") as f:
-            json.dump({k: (float(v) if hasattr(v, "item") else v)
-                       for k, v in extra.items()}, f)
+        if extra and jax.process_index() == 0:
+            # DEFERRED: written at the next barrier (next save /
+            # finalize_saves / restore / atexit), i.e. only once this
+            # checkpoint's background write has committed
+            _PENDING_META.append((path, dict(extra)))
 
 
 def restore_checkpoint(path: str, state: Any) -> Any:

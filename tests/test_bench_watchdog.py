@@ -20,6 +20,7 @@ def bench_mod(monkeypatch):
     monkeypatch.setattr(bench, "_PARTIAL", {})
     monkeypatch.setattr(bench, "_STAGE", ["startup"])
     monkeypatch.setattr(bench, "_WATCHDOG", [])
+    monkeypatch.setattr(bench, "_EMITTED", [False])
     return bench
 
 
@@ -76,3 +77,31 @@ def test_disabled_by_nonpositive_deadline(bench_mod, monkeypatch):
     monkeypatch.setenv("MEDMOE_BENCH_DEADLINE_S", "0")
     bench._watchdog_start()
     assert bench._WATCHDOG == []
+
+
+def test_emit_once_first_writer_wins(bench_mod, capsys):
+    """Timer.cancel() is a no-op once _fire has started, so the watchdog
+    and main()'s final print race at the deadline boundary — _emit_once is
+    the arbiter: exactly one JSON line, first writer wins."""
+    bench = bench_mod
+    assert bench._emit_once({"value": 1.0}) is True
+    assert bench._emit_once({"value": 2.0}) is False     # already printed
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 1
+    assert json.loads(lines[0])["value"] == 1.0
+
+
+def test_fire_after_main_emitted_does_not_exit(bench_mod, monkeypatch,
+                                               capsys):
+    """If main() prints the real line just as the deadline expires, the
+    in-flight _fire must neither print a second line nor os._exit."""
+    bench = bench_mod
+    monkeypatch.setenv("MEDMOE_BENCH_DEADLINE_S", "0.05")
+    exits = []
+    monkeypatch.setattr(bench.os, "_exit", lambda code: exits.append(code))
+    bench._emit_once({"value": 42.0})          # main() won the race
+    bench._watchdog_start()
+    time.sleep(0.4)                            # let the timer fire
+    assert exits == []
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln.strip()]
+    assert len(lines) == 1 and json.loads(lines[0])["value"] == 42.0

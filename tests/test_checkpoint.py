@@ -138,3 +138,38 @@ class TestAsyncSave:
             jax.tree_util.tree_map(jnp.zeros_like, _params()), _masked_tx())
         assert int(restore_checkpoint(str(tmp_path / "a"), fresh).step) == 0
         assert int(restore_checkpoint(str(tmp_path / "b"), fresh).step) == 9
+
+
+class TestSidecarCommitOrdering:
+    def test_async_sidecar_deferred_until_commit(self, tmp_path):
+        """The .meta.json sidecar must never exist before its checkpoint's
+        async write commits: a crash in the background-write window would
+        otherwise leave valid-looking epoch metadata pointing at a
+        missing/tmp checkpoint dir. The sidecar appears at the next
+        barrier (finalize_saves / next save / restore / atexit)."""
+        import json
+        import os
+
+        from medmoe_tpu.utils.checkpoint import finalize_saves
+
+        state = TrainState.create(_params(), _masked_tx())
+        save_checkpoint(str(tmp_path / "ck"), state, extra={"epoch": 7},
+                        blocking=False)
+        meta = str(tmp_path / "ck") + ".meta.json"
+        assert not os.path.exists(meta)        # data not yet committed
+        finalize_saves()
+        assert os.path.exists(meta)
+        with open(meta) as f:
+            assert json.load(f)["epoch"] == 7
+
+    def test_blocking_sidecar_written_after_commit(self, tmp_path):
+        import json
+        import os
+
+        state = TrainState.create(_params(), _masked_tx())
+        save_checkpoint(str(tmp_path / "ck"), state, extra={"epoch": 3},
+                        blocking=True)
+        meta = str(tmp_path / "ck") + ".meta.json"
+        assert os.path.exists(meta)            # blocking: committed inline
+        with open(meta) as f:
+            assert json.load(f)["epoch"] == 3

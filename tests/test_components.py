@@ -273,6 +273,21 @@ class TestBackboneFactory:
         assert g.shape == (1, 1024)      # torchvision classifier.in_features
         assert local.shape == (1, 1024, 4, 4)   # stage-3 map @ 64/16
 
+    def test_densenet161_group_norm_composes(self):
+        """DenseNet-161's growth-48 widths (144, 240, …) are NOT multiples
+        of 32 — the group-norm option must adapt its group count
+        (gcd(32, C), resnet._norm) instead of crashing on the second dense
+        layer of block 1. eval_shape traces every norm without FLOPs."""
+        from medmoe_tpu.models.densenet import DenseNet161
+
+        m = DenseNet161(norm="group")
+        x = np.zeros((1, 64, 64, 3), np.float32)
+        v = jax.eval_shape(m.init, jax.random.PRNGKey(0), x)
+        g, local = jax.eval_shape(
+            lambda vv, xx: m.apply(vv, xx), v, x)
+        assert g.shape == (1, 2208)      # torchvision densenet161 dim
+        assert local.shape == (1, 2112, 4, 4)
+
     def test_resnext_backbone_shapes(self):
         from medmoe_tpu.models.resnet import ResNeXt50
 

@@ -160,3 +160,61 @@ class TestModelCheckpointAnnounce:
         rec.calls.clear()
         cb.on_epoch_end(trainer, 1, {"val/loss": 2.0})
         assert [alias for _, alias, _ in rec.calls] == ["last"]
+
+
+class TestAsyncBlockingDecision:
+    """Async saves must engage for ordinary loggers: every backend inherits
+    a no-op ``log_checkpoint`` from BaseLogger, so 'has the attribute' is
+    not the artifact-capability test — only an OVERRIDING hook (and, where
+    the knob exists, ``log_model`` on) forces blocking saves."""
+
+    def _capture_blocking(self, monkeypatch, loggers, tmp_path):
+        import medmoe_tpu.utils.checkpoint as ckpt_mod
+        from medmoe_tpu.train.callbacks import ModelCheckpoint
+
+        calls = []
+        monkeypatch.setattr(
+            ckpt_mod, "save_checkpoint",
+            lambda path, state, extra=None, blocking=True:
+                calls.append(blocking))
+        trainer = types.SimpleNamespace(
+            state=None, loggers=loggers, default_root_dir=str(tmp_path))
+        cb = ModelCheckpoint(dirpath=str(tmp_path / "ck"), async_save=True)
+        cb.on_epoch_end(trainer, 0, {"val/loss": 1.0})
+        assert calls, "no save issued"
+        return calls
+
+    def test_csv_logger_keeps_async(self, tmp_path, monkeypatch):
+        from medmoe_tpu.utils.loggers import CSVLogger
+
+        calls = self._capture_blocking(
+            monkeypatch, [CSVLogger(str(tmp_path))], tmp_path)
+        assert all(b is False for b in calls)
+
+    def test_no_loggers_keeps_async(self, tmp_path, monkeypatch):
+        calls = self._capture_blocking(monkeypatch, [], tmp_path)
+        assert all(b is False for b in calls)
+
+    def test_wandb_log_model_forces_blocking(self, tmp_path, monkeypatch):
+        from medmoe_tpu.utils.loggers import WandbLogger
+
+        lg = WandbLogger(str(tmp_path), log_model=True)
+        calls = self._capture_blocking(monkeypatch, [lg], tmp_path)
+        assert all(b is True for b in calls)
+
+    def test_wandb_without_log_model_keeps_async(self, tmp_path,
+                                                 monkeypatch):
+        from medmoe_tpu.utils.loggers import WandbLogger
+
+        lg = WandbLogger(str(tmp_path), log_model=False)
+        calls = self._capture_blocking(monkeypatch, [lg], tmp_path)
+        assert all(b is False for b in calls)
+
+    def test_duck_typed_artifact_logger_forces_blocking(self, tmp_path,
+                                                        monkeypatch):
+        class Custom:                      # not a BaseLogger subclass
+            def log_checkpoint(self, path, alias="last", metadata=None):
+                pass
+
+        calls = self._capture_blocking(monkeypatch, [Custom()], tmp_path)
+        assert all(b is True for b in calls)
