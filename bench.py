@@ -343,7 +343,14 @@ def measure_transfer(cfg, global_batch, n_chips, mesh=None):
     fetch of an on-device reduction (this tunnel's block_until_ready can
     report early). Yields the measured tunnel bandwidth and the implied
     pairs/s ceiling — the number that makes the e2e leg's "transfer-bound"
-    attribution falsifiable (VERDICT round-4 weak #1)."""
+    attribution falsifiable (VERDICT round-4 weak #1).
+
+    NOTE this is a synchronous single-stream FLOOR of the tunnel's
+    capacity: every iteration pays the put + touch-dispatch + value-fetch
+    RPC round trip. The e2e loop's worker-thread puts pipeline under the
+    in-flight step and amortize that latency, so e2e_value can land ABOVE
+    this number on a high-latency tunnel (observed: 165.7 e2e vs 106.2
+    probe at 16 MB/s); the final JSON's e2e_note names that case."""
     import jax
     import jax.numpy as jnp
 
@@ -728,6 +735,16 @@ def main() -> None:
             + ", ".join(f"{k}={v:.0f}" for k, v in legs.items())
             + f" -> {bound}-bound; e2e/{bound} = "
             + f"{e2e / legs[bound]:.2f}")
+        if bound == "transfer" and e2e > legs[bound]:
+            # the transfer probe is a SYNCHRONOUS single-stream floor (one
+            # value-fetched put+touch round trip per batch, RPC latency
+            # included every iteration); the e2e loop's pipelined async
+            # puts amortize that latency under the in-flight step, so
+            # exceeding the probe is expected on a high-latency tunnel
+            out["e2e_note"] += (
+                " (>1: the transfer probe is a synchronous single-stream "
+                "floor — pipelined async puts amortize the tunnel's RPC "
+                "round-trip latency and achieve higher effective bandwidth)")
     if host is not None:
         out["host_pipeline_value"] = round(host, 2)
         out["host_note"] = ("tar->decode->tokenize->collate pairs/sec, no "
