@@ -37,6 +37,7 @@ import yaml
 DEFAULT_CONFIG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "configs")
 
 _INTERP_RE = re.compile(r"\$\{([^}]+)\}")
+_MISSING = object()      # select() sentinel: distinguishes absent from None
 
 
 class DotDict(dict):
@@ -144,6 +145,29 @@ def merge(base: DotDict, overlay: Mapping[str, Any]) -> DotDict:
     return base
 
 
+class _YamlLoader(yaml.SafeLoader):
+    """SafeLoader + YAML-1.2 floats: PyYAML's 1.1 resolver requires a dot
+    in the mantissa AND a signed exponent, so ``1e-5`` / ``5e-5`` — the
+    standard hydra/OmegaConf way to write learning rates — silently load
+    as STRINGS (and a string lr crashes the optimizer or, worse, rides
+    into a sweep's low/high bounds). Plain ints still win: the int
+    resolver registered first matches dot-less, exponent-less digits."""
+
+
+_YamlLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(r"""^[-+]?(?:
+          [0-9][0-9_]*\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        | \.[0-9][0-9_]*(?:[eE][-+]?[0-9]+)?
+        | [0-9][0-9_]*[eE][-+]?[0-9]+
+    )$""", re.X),
+    list("-+0123456789."))
+
+
+def _yaml_load(text: str) -> Any:
+    return yaml.load(text, Loader=_YamlLoader)
+
+
 def load_yaml(path: str) -> tuple[DotDict, Optional[str]]:
     """Load one YAML file; returns (config, package_directive)."""
     with open(path) as f:
@@ -156,13 +180,13 @@ def load_yaml(path: str) -> tuple[DotDict, Optional[str]]:
             break
         if stripped and not stripped.startswith("#"):
             break
-    data = yaml.safe_load(text)
+    data = _yaml_load(text)
     return DotDict(data or {}), package
 
 
 def _parse_value(raw: str) -> Any:
     try:
-        return yaml.safe_load(raw)
+        return _yaml_load(raw)
     except yaml.YAMLError:
         return raw
 
@@ -250,7 +274,13 @@ def _run_stamp() -> "datetime.datetime":
 
     pinned = os.environ.get("MEDMOE_RUN_STAMP")
     if pinned:
-        return datetime.datetime.fromtimestamp(float(pinned))
+        # UTC, not local time: the pin exists so every process in a
+        # multi-host run renders the SAME output_dir — hosts with
+        # different TZ config would otherwise format the same epoch value
+        # into different strings, recreating exactly the divergence the
+        # pin prevents
+        return datetime.datetime.fromtimestamp(
+            float(pinned), tz=datetime.timezone.utc).replace(tzinfo=None)
     return datetime.datetime.now()
 
 
@@ -270,7 +300,11 @@ def resolve_interpolations(cfg: DotDict, root: Optional[DotDict] = None) -> DotD
                 return os.environ.get(parts[0], parts[1] if len(parts) > 1 else None)
             if ref.startswith("now:"):
                 return stamp.strftime(ref[4:])
-            val = root.select(ref)
+            val = root.select(ref, _MISSING)
+            if val is _MISSING:
+                raise KeyError(
+                    f"interpolation ${{{ref}}} refers to a key that does "
+                    f"not exist in the composed config")
             if isinstance(val, str):
                 return resolve_str(val, depth + 1)
             return val
@@ -282,7 +316,14 @@ def resolve_interpolations(cfg: DotDict, root: Optional[DotDict] = None) -> DotD
                 return str(os.environ.get(parts[0], parts[1] if len(parts) > 1 else ""))
             if ref.startswith("now:"):
                 return stamp.strftime(ref[4:])
-            val = root.select(ref)
+            val = root.select(ref, _MISSING)
+            if val is _MISSING:
+                # silently embedding the literal text 'None' (e.g. a
+                # checkpoint dir named "None/runs" from a typo'd ref) hides
+                # the failure completely — error like hydra does
+                raise KeyError(
+                    f"interpolation ${{{ref}}} refers to a key that does "
+                    f"not exist in the composed config")
             if isinstance(val, str) and _INTERP_RE.search(val):
                 val = resolve_str(val, depth + 1)
             return str(val)
@@ -342,6 +383,11 @@ def compose(
 
     cfg = _compose_file(config_dir, config_name, group_overrides)
     for key, value in value_overrides:
+        # NOTE: unlike hydra, a bare override may create a new key — the
+        # tower configs deliberately leave most knobs to module-side
+        # .get() defaults (they are overridable without appearing in any
+        # YAML), so hydra's key-must-exist typo protection cannot apply
+        # without a schema layer. '+key=value' works and is equivalent.
         cfg.set_dotted(key, value)
     for key in deletions:
         cfg.delete_dotted(key)

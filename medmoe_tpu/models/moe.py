@@ -230,7 +230,7 @@ class ExpertBank(nn.Module):
         p_max = max(f.shape[1] for f in pyramid)
 
         from medmoe_tpu.ops.pallas.expert_fusion import use_fused_expert
-        if use_fused_expert([f.shape[1] for f in pyramid], p_max):
+        if use_fused_expert([f.shape[1] for f in pyramid], p_max, dtype=dt):
             # fused Pallas path (TPU): whole branch in one kernel per
             # direction, per-sample expert params selected by DMA index
             # maps — see ops/pallas/expert_fusion.py

@@ -92,9 +92,16 @@ def _resolve_impl() -> str:
     return impl
 
 
-def use_fused_expert(p_list: Sequence[int], p_max: int) -> bool:
+def use_fused_expert(p_list: Sequence[int], p_max: int,
+                     dtype=None) -> bool:
     impl = _resolve_impl()
     if impl == "xla":
+        return False
+    # The kernels are bf16 by design (weights/biases rounded on entry, f32
+    # accumulation): a model configured with dtype=float32 — the numerics-
+    # debug setting — must take the XLA einsum path, or the dtype knob
+    # would silently compute the expert branch in bf16 anyway.
+    if dtype is not None and jnp.dtype(dtype) != jnp.dtype(jnp.bfloat16):
         return False
     return expert_fusion_supported(p_list, p_max)
 

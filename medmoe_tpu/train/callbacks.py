@@ -64,10 +64,37 @@ class ModelCheckpoint(Callback):
         self.async_save = async_save
         self.best_value = math.inf if mode == "min" else -math.inf
         self.best_path: Optional[str] = None
+        #: kept monitored checkpoints, best-first: [(score, path)] where
+        #: score is mode-normalized (smaller is better)
+        self._kept: list = []
 
     def _is_better(self, value: float) -> bool:
         return value < self.best_value if self.mode == "min" \
             else value > self.best_value
+
+    def _score(self, value: float) -> float:
+        return value if self.mode == "min" else -value
+
+    def _prune_kept(self) -> None:
+        """Lightning save_top_k semantics: drop outperformed checkpoints
+        beyond k (save_top_k=-1 keeps everything). Evicted paths were
+        written at least one save-barrier ago (the CURRENT save's async
+        barrier waits on the previous write), so deleting them never races
+        an in-flight write."""
+        if self.save_top_k < 0:
+            return
+        import shutil
+
+        self._kept.sort(key=lambda sp: sp[0])
+        while len(self._kept) > self.save_top_k:
+            _, path = self._kept.pop()           # worst
+            if any(path == p for _, p in self._kept):
+                continue                         # same path still kept
+            shutil.rmtree(path, ignore_errors=True)
+            try:
+                os.remove(path + ".meta.json")
+            except OSError:
+                pass
 
     def on_epoch_end(self, trainer, epoch: int,
                      metrics: Dict[str, float]) -> None:
@@ -91,6 +118,8 @@ class ModelCheckpoint(Callback):
             save_checkpoint(self.best_path, trainer.state,
                             extra={"epoch": epoch, self.monitor: value,
                                    **loop_extra}, blocking=blocking)
+            self._kept.append((self._score(float(value)), self.best_path))
+            self._prune_kept()          # outperformed ckpts beyond top-k go
             self._announce(trainer, self.best_path, "best",
                            {"epoch": epoch, self.monitor: float(value)})
         if self.save_last:

@@ -49,20 +49,34 @@ class CSVLogger(BaseLogger):
         if not _is_main_process():
             return
         new_fields = sorted(set(self._fields) | set(metrics) | {"step", "time"})
-        if self._file is None or new_fields != self._fields:
-            rows = []
-            path = os.path.join(self.save_dir, "metrics.csv")
-            if self._file is not None:
-                self._file.close()
-                with open(path) as f:
-                    rows = list(csv.DictReader(f))
-            os.makedirs(self.save_dir, exist_ok=True)
-            self._fields = new_fields
-            self._file = open(path, "w", newline="")
-            self._writer = csv.DictWriter(self._file, fieldnames=self._fields)
-            self._writer.writeheader()
-            for row in rows:
-                self._writer.writerow(row)
+        if self._file is not None and new_fields == self._fields:
+            return
+        # The file is rewritten with the widened header, so existing rows
+        # must be re-read whenever metrics.csv EXISTS ON DISK — not only
+        # while our own handle is open: after finalize() (fit → test logs
+        # into the same file) or on a resumed run, _file is None but the
+        # history is there, and opening 'w' without the re-read would
+        # silently destroy it.
+        path = os.path.join(self.save_dir, "metrics.csv")
+        rows = []
+        if self._file is not None:
+            self._file.close()
+            self._file = None
+        if os.path.exists(path):
+            with open(path) as f:
+                reader = csv.DictReader(f)
+                rows = list(reader)
+                if reader.fieldnames:        # keep prior-run-only columns
+                    new_fields = sorted(set(new_fields)
+                                        | set(reader.fieldnames))
+        os.makedirs(self.save_dir, exist_ok=True)
+        self._fields = new_fields
+        self._file = open(path, "w", newline="")
+        self._writer = csv.DictWriter(self._file, fieldnames=self._fields,
+                                      restval="")
+        self._writer.writeheader()
+        for row in rows:
+            self._writer.writerow(row)
 
     def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
         if not _is_main_process():
@@ -186,6 +200,44 @@ class ExternalLogger(BaseLogger):
         except Exception:
             self._fallback.log_metrics(metrics, step)
 
+    def log_hyperparams(self, params: Dict[str, Any]) -> None:
+        if self._impl is None:
+            return
+        try:
+            if self.backend == "mlflow":
+                # mlflow params are strings with a length cap
+                self._impl.log_params({k: str(v)[:500]
+                                       for k, v in params.items()})
+            elif self.backend == "comet":
+                self._impl.log_parameters(dict(params))
+            elif self.backend == "neptune":
+                self._impl["parameters"] = dict(params)
+            elif self.backend == "aim":
+                self._impl["hparams"] = {k: str(v)
+                                         for k, v in params.items()}
+        except Exception:
+            pass
+
+    def finalize(self) -> None:
+        """End the backend run — without this, mlflow's run stays active
+        and the NEXT in-process trial's start_run() raises ('already
+        active'), silently demoting every later sweep trial to the JSONL
+        fallback."""
+        if self._impl is None:
+            return
+        try:
+            if self.backend == "mlflow":
+                self._impl.end_run()
+            elif self.backend == "comet":
+                self._impl.end()
+            elif self.backend == "neptune":
+                self._impl.stop()
+            elif self.backend == "aim":
+                self._impl.close()
+        except Exception:
+            pass
+        self._impl = None
+
 
 def CometLogger(save_dir: str, **kw):  # noqa: N802 — config-surface names
     return ExternalLogger("comet", save_dir, **kw)
@@ -287,3 +339,6 @@ class WandbLogger(BaseLogger):
     def finalize(self) -> None:
         if self._run is not None:
             self._run.finish()
+            # later logs (fit() finalizes, then trainer.test() logs) must
+            # not land on a finished run — route them to the fallback
+            self._run = None

@@ -9,6 +9,8 @@ opt_states (reference analogue: Lightning refuses mismatched checkpoints
 outright; we accept exactly the one structure migration we document).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -173,3 +175,43 @@ class TestSidecarCommitOrdering:
         assert os.path.exists(meta)            # blocking: committed inline
         with open(meta) as f:
             assert json.load(f)["epoch"] == 3
+
+
+class TestTopKPruning:
+    def test_outperformed_best_checkpoints_are_deleted(self, tmp_path):
+        """Lightning save_top_k=1 semantics: a new best evicts the previous
+        best's directory + sidecar instead of accumulating 866 MB dirs."""
+        import types
+
+        from medmoe_tpu.train.callbacks import ModelCheckpoint
+
+        state = TrainState.create(_params(), _masked_tx())
+        trainer = types.SimpleNamespace(
+            state=state, loggers=[], default_root_dir=str(tmp_path))
+        cb = ModelCheckpoint(dirpath=str(tmp_path / "ck"), save_top_k=1,
+                             save_last=False, async_save=False)
+        cb.on_epoch_end(trainer, 0, {"val/loss": 3.0})
+        first = cb.best_path
+        assert os.path.isdir(first)
+        cb.on_epoch_end(trainer, 1, {"val/loss": 2.0})      # improves
+        second = cb.best_path
+        assert os.path.isdir(second) and second != first
+        assert not os.path.exists(first)                    # evicted
+        assert not os.path.exists(first + ".meta.json")
+        cb.on_epoch_end(trainer, 2, {"val/loss": 2.5})      # worse: no save
+        assert cb.best_path == second and os.path.isdir(second)
+
+    def test_top_k_minus_one_keeps_everything(self, tmp_path):
+        import types
+
+        from medmoe_tpu.train.callbacks import ModelCheckpoint
+
+        state = TrainState.create(_params(), _masked_tx())
+        trainer = types.SimpleNamespace(
+            state=state, loggers=[], default_root_dir=str(tmp_path))
+        cb = ModelCheckpoint(dirpath=str(tmp_path / "ck"), save_top_k=-1,
+                             save_last=False, async_save=False)
+        cb.on_epoch_end(trainer, 0, {"val/loss": 3.0})
+        first = cb.best_path
+        cb.on_epoch_end(trainer, 1, {"val/loss": 2.0})
+        assert os.path.isdir(first) and os.path.isdir(cb.best_path)

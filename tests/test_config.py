@@ -297,3 +297,49 @@ def test_cli_help_renders_groups(capsys):
     assert "experiment=" in out and "pretraining_medmoe" in out
     assert "trainer=" in out and "ddp" in out
     assert maybe_print_help(["a=b"], "prog", "desc", []) is False
+
+
+class TestYaml12Floats:
+    def test_scientific_notation_overrides_are_floats(self):
+        from medmoe_tpu.config import compose
+
+        cfg = compose("train", ["experiment=pretraining_medmoe",
+                                "model.optimizer.lr=1e-5"])
+        assert cfg.model.optimizer.lr == 1e-5
+        assert isinstance(cfg.model.optimizer.lr, float)
+
+    def test_sweep_bounds_load_as_floats(self):
+        from medmoe_tpu.config import compose
+
+        cfg = compose("train", ["experiment=pretraining_medmoe",
+                                "hparams_search=medmoe_tpe"])
+        low = cfg.hparams_search.params["model.optimizer.lr"]["low"]
+        assert low == 1e-6 and isinstance(low, float)
+
+    def test_ints_stay_ints(self):
+        from medmoe_tpu.config.loader import _parse_value
+
+        assert _parse_value("123") == 123
+        assert isinstance(_parse_value("123"), int)
+        assert _parse_value("epoch_001") == "epoch_001"
+
+
+class TestMissingInterpolationErrors:
+    def test_embedded_missing_ref_raises(self):
+        import pytest
+
+        from medmoe_tpu.config.loader import DotDict, resolve_interpolations
+
+        cfg = DotDict({"paths": {"root_dir": "/x"},
+                       "out": "${paths.rot_dir}/runs"})     # typo'd ref
+        with pytest.raises(KeyError, match="rot_dir"):
+            resolve_interpolations(cfg)
+
+    def test_full_match_missing_ref_raises(self):
+        import pytest
+
+        from medmoe_tpu.config.loader import DotDict, resolve_interpolations
+
+        cfg = DotDict({"a": "${nope.key}"})
+        with pytest.raises(KeyError, match="nope.key"):
+            resolve_interpolations(cfg)

@@ -145,3 +145,34 @@ class TestDegradation:
         with open(tmp_path / "aim_fallback.jsonl") as f:
             rec = json.loads(f.readline())
         assert rec["train/loss"] == 6.0
+
+
+class TestCSVHistoryPreserved:
+    def test_fit_then_test_keeps_training_rows(self, tmp_path):
+        """metrics.csv must survive finalize() + later logging (the fit ->
+        trainer.test flow) and resumed runs: the rewrite re-reads existing
+        rows from DISK, not only from an open handle."""
+        import csv
+
+        from medmoe_tpu.utils.loggers import CSVLogger
+
+        lg = CSVLogger(str(tmp_path))
+        lg.log_metrics({"train/loss": 1.0}, step=1)
+        lg.log_metrics({"train/loss": 0.5}, step=2)
+        lg.finalize()                       # fit() ends
+        lg.log_metrics({"test/acc": 0.9}, step=3)   # trainer.test logs
+        lg.finalize()
+        with open(tmp_path / "csv" / "metrics.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 3               # training history NOT truncated
+        assert rows[0]["train/loss"] == "1.0"
+        assert rows[2]["test/acc"] == "0.9"
+
+        # a fresh logger instance writing into the same dir (resume) also
+        # preserves the file
+        lg2 = CSVLogger(str(tmp_path))
+        lg2.log_metrics({"train/loss": 0.4}, step=4)
+        lg2.finalize()
+        with open(tmp_path / "csv" / "metrics.csv") as f:
+            rows = list(csv.DictReader(f))
+        assert len(rows) == 4 and rows[0]["train/loss"] == "1.0"

@@ -201,3 +201,19 @@ class TestShardMapPath:
         rel = np.abs(np.asarray(out) - np.asarray(ref)) \
             / np.maximum(np.abs(np.asarray(ref)), 1.0)
         assert rel.max() < 0.08
+
+
+class TestDtypeGate:
+    def test_fused_path_requires_bf16(self, monkeypatch):
+        """The fused kernels compute in bf16 by design; a float32 model
+        dtype (the numerics-debug setting) must fall back to the XLA
+        einsum path even on TPU."""
+        import jax.numpy as jnp
+
+        from medmoe_tpu.ops.pallas import expert_fusion as ef
+
+        monkeypatch.setattr(ef, "_resolve_impl", lambda: "pallas")
+        assert ef.use_fused_expert([64, 16], 64, dtype=jnp.bfloat16)
+        assert not ef.use_fused_expert([64, 16], 64, dtype=jnp.float32)
+        # unspecified dtype keeps the old behavior (platform decides)
+        assert ef.use_fused_expert([64, 16], 64)
